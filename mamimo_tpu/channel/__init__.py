@@ -1,0 +1,13 @@
+"""Scenario geometry, scattering MIMO channel and receiver noise chain."""
+
+from mamimo_tpu.channel.scattering import (  # noqa: F401
+    Scenario,
+    ChannelRealization,
+    make_scenario,
+    realize_channel,
+    apply_channel,
+    analytic_subcarrier_channel,
+    steering_vectors,
+    fspl_db,
+)
+from mamimo_tpu.channel.noise import receiver_chain, sync_slice  # noqa: F401

@@ -1,0 +1,210 @@
+"""Single-bounce scattering MIMO channel, TPU-native.
+
+Replaces ``phased.ScatteringMIMOChannel`` as configured in
+``helperApplyMUChannel.m:85-133``:
+
+* BS (Tx) ULA at the origin, user (Rx) ULA at a random position within
+  ``max_range`` of the BS (``generate_maMIMO_LTF.m:48-51,166-169``);
+* ``n_scatterers`` point scatterers placed uniformly in a box of
+  half-size ``0.1 * range`` centred on the Rx
+  (``helperApplyMUChannel.m:85-93``);
+* per-scatterer complex gain ~ CN(0,1); per-path amplitude includes the
+  free-space spreading loss λ/(4πd) over the total Tx→scatterer→Rx
+  distance and carrier phase exp(−j2πd/λ)  — so the expected per-link
+  channel power is ≈ −fspl(range) + 10·log10(Ns) dB, the property the
+  generator asserts at ``generate_maMIMO_LTF.m:218-227``;
+* path delay τ_s measured between the array reference positions
+  (narrowband array assumption: inter-element phase differences live in
+  the response, the delay is common per scatterer);
+* channel delay = floor(min τ · Fs) samples (``helperApplyMUChannel.m:133``).
+
+The channel is *applied in the frequency domain*: instead of the
+reference's interpolated-FIR channel filter, each path's fractional
+delay becomes an exact phase ramp over a zero-padded FFT — a batched
+matmul + FFT, which is how a TPU wants to do convolution. With
+``num_pad_zeros`` (=960) trailing zeros and max path delay well below
+that, the circular convolution equals the linear one exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamimo_tpu.config import SimConfig
+
+
+def fspl_db(dist, lam):
+    """Free-space path loss in dB (MATLAB ``fspl``)."""
+    return 20.0 * jnp.log10(4.0 * jnp.pi * dist / lam)
+
+
+def ula_positions(n: int, spacing: float) -> np.ndarray:
+    """Element positions of an n-element ULA along the y axis, centred at
+    the origin (matches phased.ULA's getElementPosition layout).
+
+    Returns (3, n) float32 metres."""
+    y = (np.arange(n) - (n - 1) / 2.0) * spacing
+    pos = np.zeros((3, n), np.float32)
+    pos[1] = y
+    return pos
+
+
+def steering_vectors(elem_pos_wavelengths, az_deg, el_deg):
+    """MATLAB ``steervec(pos, [az; el])`` equivalent.
+
+    Args:
+      elem_pos_wavelengths: (3, n) element positions in wavelengths.
+      az_deg, el_deg: (m,) angles in degrees.
+
+    Returns:
+      (n, m) complex steering matrix exp(j·2π·posᵀ·u).
+    """
+    az = jnp.deg2rad(jnp.asarray(az_deg))
+    el = jnp.deg2rad(jnp.asarray(el_deg))
+    u = jnp.stack(
+        [jnp.cos(el) * jnp.cos(az), jnp.cos(el) * jnp.sin(az), jnp.sin(el)]
+    )  # (3, m)
+    phase = 2.0 * jnp.pi * jnp.einsum("dn,dm->nm", elem_pos_wavelengths, u)
+    return jnp.exp(1j * phase).astype(jnp.complex64)
+
+
+class Scenario(NamedTuple):
+    """Fixed-per-experiment geometry (drawn once under the experiment seed,
+    like prm.mobileRanges/mobileAngles at generate_maMIMO_LTF.m:48-51)."""
+
+    mobile_range: jnp.ndarray   # () metres
+    mobile_az: jnp.ndarray      # () degrees
+    mobile_el: jnp.ndarray      # () degrees
+    rx_pos: jnp.ndarray         # (3,)
+    sp_loss_db: jnp.ndarray     # () free-space path loss BS→user
+    tx_elem: jnp.ndarray        # (3, num_tx) metres
+    rx_elem: jnp.ndarray        # (3, num_rx) metres (local)
+
+
+class ChannelRealization(NamedTuple):
+    """Per-packet channel draw (one phased.ScatteringMIMOChannel state)."""
+
+    cr: jnp.ndarray          # (num_tx, num_rx, ns) complex path responses
+    tau: jnp.ndarray         # (ns,) path delays [s], scatterer order
+    chan_delay: jnp.ndarray  # () int32 samples
+
+
+def make_scenario(cfg: SimConfig, key) -> Scenario:
+    """Draw user placement; compute geometry and path loss."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    rng = jax.random.randint(k1, (), 1, int(cfg.max_range) + 1).astype(
+        jnp.float32
+    )
+    az = jax.random.uniform(k2, (), minval=-180.0, maxval=180.0)
+    el = jax.random.uniform(k3, (), minval=-90.0, maxval=90.0)
+    azr, elr = jnp.deg2rad(az), jnp.deg2rad(el)
+    rx_pos = rng * jnp.stack(
+        [jnp.cos(elr) * jnp.cos(azr), jnp.cos(elr) * jnp.sin(azr),
+         jnp.sin(elr)]
+    )
+    sp_loss = fspl_db(rng, cfg.lam)
+    tx_elem = jnp.asarray(ula_positions(cfg.num_tx, 0.5 * cfg.lam))
+    rx_elem = jnp.asarray(ula_positions(cfg.num_rx, 0.5 * cfg.lam))
+    return Scenario(rng, az, el, rx_pos, sp_loss, tx_elem, rx_elem)
+
+
+def realize_channel(cfg: SimConfig, key, scen: Scenario) -> ChannelRealization:
+    """Draw one packet's scatterers + gains and form path responses."""
+    kp, kg = jax.random.split(key)
+    ns = cfg.n_scatterers
+    rad = scen.mobile_range * cfg.scat_radius_frac
+    scat = scen.rx_pos[:, None] + jax.random.uniform(
+        kp, (3, ns), minval=-1.0, maxval=1.0
+    ) * rad                                                    # (3, ns)
+    g = (
+        jax.random.normal(kg, (2, ns)) / math.sqrt(2.0)
+    )
+    gains = (g[0] + 1j * g[1]).astype(jnp.complex64)           # CN(0,1)
+
+    # distances Tx element -> scatterer, scatterer -> Rx element
+    d_tx = jnp.linalg.norm(
+        scat[:, None, :] - scen.tx_elem[:, :, None], axis=0
+    )                                                          # (num_tx, ns)
+    rx_glob = scen.rx_pos[:, None] + scen.rx_elem               # (3, num_rx)
+    d_rx = jnp.linalg.norm(
+        scat[:, None, :] - rx_glob[:, :, None], axis=0
+    )                                                          # (num_rx, ns)
+    d = d_tx[:, None, :] + d_rx[None, :, :]                    # (Nt, Nr, ns)
+    amp = cfg.lam / (4.0 * jnp.pi * d)
+    phase = jnp.exp(-1j * (2.0 * jnp.pi / cfg.lam) * d)
+    cr = (gains[None, None, :] * amp * phase).astype(jnp.complex64)
+
+    # reference-position path delays (tau output of helperApplyMUChannel)
+    d_ref = jnp.linalg.norm(scat, axis=0) + jnp.linalg.norm(
+        scat - scen.rx_pos[:, None], axis=0
+    )                                                          # (ns,)
+    tau = (d_ref / cfg.c_light).astype(jnp.float32)
+    chan_delay = jnp.floor(jnp.min(tau) * cfg.chan_srate).astype(jnp.int32)
+    return ChannelRealization(cr, tau, chan_delay)
+
+
+def _signed_bins(n: int) -> np.ndarray:
+    k = np.arange(n)
+    return ((k + n // 2) % n) - n // 2
+
+
+def apply_channel(
+    cfg: SimConfig, sig, chan: ChannelRealization, fft_size: int = 16384
+):
+    """Pass a padded Tx signal through the scattering channel.
+
+    Exact frequency-domain application: each path contributes
+    ``cr * exp(-j·2π·k_signed·D_s / nfft)`` where D_s = τ_s·Fs is the
+    (fractional) path delay in samples.
+
+    Args:
+      sig: (nsamp, num_tx) complex, already zero-padded at the tail by at
+        least the maximum path delay (the caller appends
+        ``cfg.num_pad_zeros`` zeros, helperApplyMUChannel.m:29-34).
+      fft_size: static FFT length >= nsamp (+ delay headroom).
+
+    Returns:
+      (nsamp, num_rx) complex faded signal.
+    """
+    sig = jnp.asarray(sig, jnp.complex64)
+    nsamp = sig.shape[0]
+    assert fft_size >= nsamp, "fft_size must cover the padded signal"
+    delays = chan.tau * cfg.chan_srate                         # (ns,) samples
+    k = jnp.asarray(_signed_bins(fft_size), jnp.float32)       # (F,)
+    ramp = jnp.exp(
+        (-2j * jnp.pi / fft_size) * k[:, None] * delays[None, :]
+    ).astype(jnp.complex64)                                    # (F, ns)
+    hf = jnp.einsum("mns,fs->fmn", chan.cr, ramp)              # (F, Nt, Nr)
+    xf = jnp.fft.fft(sig, n=fft_size, axis=0)                  # (F, Nt)
+    yf = jnp.einsum("fm,fmn->fn", xf, hf)
+    y = jnp.fft.ifft(yf, axis=0)[:nsamp]
+    return y.astype(jnp.complex64)
+
+
+def analytic_subcarrier_channel(
+    cfg: SimConfig, chan: ChannelRealization, sync_delay=None
+):
+    """Exact per-subcarrier channel seen by the OFDM demodulator after
+    synchronizing at ``sync_delay`` samples (defaults to chan.chan_delay).
+
+    H(k, m, n) = Σ_s cr(m,n,s) · exp(-j·2π·b_k·(τ_s·Fs − sync)/fft)
+
+    Returns (num_carriers, num_tx, num_rx) complex — the noise-free
+    oracle the LS estimator must recover (up to the known preamble/AGC
+    amplitude scale).
+    """
+    if sync_delay is None:
+        sync_delay = chan.chan_delay
+    bins = jnp.asarray(
+        np.asarray(cfg.carrier_locations, np.float32) - cfg.fft_length // 2
+    )
+    d = chan.tau * cfg.chan_srate - sync_delay.astype(jnp.float32)
+    ramp = jnp.exp(
+        (-2j * jnp.pi / cfg.fft_length) * bins[:, None] * d[None, :]
+    ).astype(jnp.complex64)                                    # (C, ns)
+    return jnp.einsum("mns,cs->cmn", chan.cr, ramp)

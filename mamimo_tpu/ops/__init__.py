@@ -1,0 +1,11 @@
+"""Core DSP ops — pure JAX, jit/vmap-able, complex64."""
+
+from mamimo_tpu.ops.ofdm import ofdm_modulate, ofdm_demodulate  # noqa: F401
+from mamimo_tpu.ops.ltf import (  # noqa: F401
+    ltf_sequence,
+    hadamard,
+    pilot_p_matrix,
+    gen_preamble,
+)
+from mamimo_tpu.ops.estimate import ls_estimate, lmmse_estimate  # noqa: F401
+from mamimo_tpu.ops.metrics import nmse_subk, mse_abs, evm_rms  # noqa: F401

@@ -1,0 +1,112 @@
+"""Channel estimators: per-subcarrier LS and frequency-correlation LMMSE.
+
+TPU-native reformulation of ``helperMIMOChannelEstimate.m:24-41`` and
+``LMMSE_ce.m:23-39``: the LS despread is a single einsum over the LTF
+symbols (MXU-friendly), LMMSE is a batched 234×234 linear solve shared
+across Tx streams.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mamimo_tpu.config import SimConfig
+from mamimo_tpu.ops.ltf import ltf_data_carriers, pilot_p_matrix
+
+
+def ls_estimate(cfg: SimConfig, rx_grid, num_sts: int | None = None):
+    """Least-squares MIMO channel estimate from the demodulated preamble.
+
+    ``hD(:,j,i) = rxsym * conj(P(j,:))' ./ (nltf * ltf(ind))``
+    (helperMIMOChannelEstimate.m:24-41).
+
+    Args:
+      rx_grid: (..., num_carriers, nsym>=num_sts, num_rx) demodulated
+        data-carrier grid.
+      num_sts: number of sounded streams (defaults cfg.num_tx).
+
+    Returns:
+      (..., num_carriers, num_sts, num_rx) complex channel estimate.
+    """
+    if num_sts is None:
+        num_sts = cfg.num_tx
+    P = pilot_p_matrix(num_sts)                       # (nsts, nltf) real ±1
+    ltf = ltf_data_carriers(cfg)                      # (C,) ±1
+    rx = rx_grid[..., :num_sts, :]                    # first nltf symbols
+    # (..., C, n, R) x (j, n) -> (..., C, j, R)
+    hd = jnp.einsum("...cnr,jn->...cjr", rx, P.astype(rx.dtype))
+    denom = (num_sts * ltf).astype(hd.real.dtype)
+    return hd / denom[:, None, None]
+
+
+def lmmse_weight(cfg: SimConfig, tau, snr_db):
+    """Per-(packet, rx-antenna) LMMSE smoothing matrix M = Rhp · Rpp⁻¹.
+
+    Faithful reimplementation of ``LMMSE_ce.m:23-39`` including its quirk:
+    the "channel impulse response" h passed in is actually the vector of
+    scatterer path *delays* (``h_tau``/TAU from helperApplyMUChannel,
+    wired through generate_maMIMO_LTF.m:210,342), so the rms-delay proxy
+    is computed from τ² weights over the scatterer index:
+
+        hh   = Σ τ_s²             (h*h')
+        tmp  = τ_s² · s           (h .* conj(h) .* k)
+        r    = Σ tmp / hh ;  r2 = Σ tmp·s / hh
+        τ_rms = sqrt(r2 − r²)
+
+    and the frequency-correlation matrices use Nfft = Np = num_carriers,
+    Nps = 1, df = 1/num_carriers:
+
+        Rhp[a,b] = Rpp0[a,b] = 1 / (1 + j·2π·τ_rms·df·(a−b))
+        Rpp = Rpp0 + I/snr
+        M = Rhp · Rpp⁻¹
+
+    Args:
+      tau:    (..., n_scatterers) path delays in *scatterer order* (the
+              order matters for the index-weighted proxy — preserved from
+              generation).
+      snr_db: (...,) per-antenna sounding SNR in dB.
+
+    Returns:
+      (..., num_carriers, num_carriers) complex M.
+    """
+    tau = jnp.asarray(tau)
+    ns = tau.shape[-1]
+    k = jnp.arange(ns, dtype=tau.dtype)
+    w = tau * tau                                    # τ_s² (tau is real)
+    hh = jnp.sum(w, axis=-1)
+    tmp = w * k
+    r = jnp.sum(tmp, axis=-1) / hh
+    r2 = jnp.sum(tmp * k, axis=-1) / hh
+    tau_rms = jnp.sqrt(jnp.maximum(r2 - r * r, 0.0))
+
+    n = cfg.num_carriers
+    df = 1.0 / n
+    a = jnp.arange(n)
+    diff = (a[:, None] - a[None, :]).astype(jnp.float32)
+    # rf[a,b] = 1/(1 + j 2π τ_rms df (a−b))
+    jw = 1j * 2.0 * jnp.pi * tau_rms[..., None, None] * df
+    rf = 1.0 / (1.0 + jw * diff)
+    snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)
+    eye = jnp.eye(n, dtype=rf.dtype)
+    rpp = rf + eye / snr[..., None, None]
+    # M = Rhp · Rpp⁻¹  computed as  solve(Rppᵀ, Rhpᵀ)ᵀ
+    m = jnp.linalg.solve(
+        jnp.swapaxes(rpp, -1, -2), jnp.swapaxes(rf, -1, -2)
+    )
+    return jnp.swapaxes(m, -1, -2).astype(jnp.complex64)
+
+
+def lmmse_estimate(cfg: SimConfig, h_ls, tau, snr_db):
+    """LMMSE channel estimate from the LS estimate.
+
+    Args:
+      h_ls:   (..., num_carriers, num_sts, num_rx) LS estimate.
+      tau:    (..., n_scatterers) path delays (see lmmse_weight).
+      snr_db: (..., num_rx) per-antenna sounding SNR in dB.
+
+    Returns:
+      same shape as h_ls.
+    """
+    # M: (..., R, C, C); apply to h_ls columns per rx antenna.
+    m = lmmse_weight(cfg, tau[..., None, :], snr_db)     # (..., R, C, C)
+    return jnp.einsum("...rcd,...djr->...cjr", m, h_ls.astype(m.dtype))

@@ -1,0 +1,79 @@
+"""LMMSE estimator vs a NumPy port of LMMSE_ce.m, and metric definitions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamimo_tpu.ops.estimate import lmmse_estimate, lmmse_weight
+from mamimo_tpu.ops.metrics import bit_error_rate, evm_rms, mse_abs, nmse_subk
+
+
+def _lmmse_oracle(h_tilde, nfft, np_, nps, h, snr_db):
+    """Direct NumPy transcription of the LMMSE_ce.m math (Cho et al. 2010
+    textbook formula, including the reference's delays-as-h quirk)."""
+    snr = 10 ** (snr_db * 0.1)
+    k = np.arange(len(h))
+    hh = np.dot(h, np.conj(h)).real
+    tmp = h * np.conj(h) * k
+    r = np.sum(tmp).real / hh
+    r2 = np.dot(tmp, k).real / hh
+    tau_rms = np.sqrt(r2 - r**2)
+    df = 1.0 / nfft
+    j2 = 1j * 2 * np.pi * tau_rms * df
+    K1 = np.tile(np.arange(nfft)[:, None], (1, np_))
+    K2 = np.tile(np.arange(np_)[None, :], (nfft, 1))
+    rf = 1.0 / (1 + j2 * (K1 - K2 * nps))
+    K3 = np.tile(np.arange(np_)[:, None], (1, np_))
+    K4 = np.tile(np.arange(np_)[None, :], (np_, 1))
+    rf2 = 1.0 / (1 + j2 * nps * (K3 - K4))
+    Rhp = rf
+    Rpp = rf2 + np.eye(len(h_tilde)) / snr
+    return (Rhp @ np.linalg.inv(Rpp) @ h_tilde).T
+
+
+def test_lmmse_matches_oracle(cfg):
+    rng = np.random.default_rng(0)
+    ns = cfg.n_scatterers
+    tau = (rng.uniform(3e-6, 4e-6, ns)).astype(np.float32)
+    n = cfg.num_carriers
+    h_ls = (rng.standard_normal((n, 4, 1)) + 1j * rng.standard_normal((n, 4, 1))
+            ).astype(np.complex64)
+    snr_db = np.asarray([7.0], np.float32)
+    out = np.asarray(
+        lmmse_estimate(cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(snr_db))
+    )
+    for j in range(4):
+        ref = _lmmse_oracle(h_ls[:, j, 0], n, n, 1, tau.astype(np.float64),
+                            float(snr_db[0]))
+        np.testing.assert_allclose(out[:, j, 0], ref, atol=2e-3)
+
+
+def test_lmmse_high_snr_identity(cfg):
+    """At very high SNR the LMMSE weight tends to identity."""
+    tau = np.linspace(3e-6, 3.5e-6, cfg.n_scatterers).astype(np.float32)
+    m = np.asarray(lmmse_weight(cfg, jnp.asarray(tau), jnp.asarray(200.0)))
+    np.testing.assert_allclose(m, np.eye(cfg.num_carriers), atol=1e-3)
+
+
+def test_nmse_subk():
+    rng = np.random.default_rng(1)
+    ref = rng.standard_normal((234, 4, 2)) + 1j * rng.standard_normal((234, 4, 2))
+    assert float(nmse_subk(ref, ref)) == 0.0
+    # scaling error of 0.9 → NMSE = 0.01 on every subchannel
+    val = float(nmse_subk(ref, 0.9 * ref))
+    np.testing.assert_allclose(val, 0.01, rtol=1e-5)
+    assert float(mse_abs(ref, 0.9 * ref)) > 0
+
+
+def test_evm_ber():
+    c = np.array([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j]) / np.sqrt(2)
+    # exact constellation points → EVM 0
+    rx = np.tile(c, 10)
+    assert float(evm_rms(rx, c)) < 1e-3
+    # small perturbation → EVM ≈ |eps|/rms * 100
+    rx2 = rx + 0.01
+    v = float(evm_rms(rx2, c))
+    np.testing.assert_allclose(v, 1.0, rtol=0.05)
+    tx_bits = np.array([0, 1, 1, 0, 1])
+    rx_bits = np.array([0, 1, 0, 0, 1])
+    np.testing.assert_allclose(float(bit_error_rate(tx_bits, rx_bits)), 0.2)
