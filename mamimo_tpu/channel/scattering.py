@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mamimo_tpu.config import SimConfig
+from mamimo_tpu.utils.numerics import unit_phasor
 
 
 def fspl_db(dist, lam):
@@ -136,7 +137,8 @@ def realize_channel(cfg: SimConfig, key, scen: Scenario) -> ChannelRealization:
     )                                                          # (num_rx, ns)
     d = d_tx[:, None, :] + d_rx[None, :, :]                    # (Nt, Nr, ns)
     amp = cfg.lam / (4.0 * jnp.pi * d)
-    phase = jnp.exp(-1j * (2.0 * jnp.pi / cfg.lam) * d)
+    # carrier phase with argument reduction (see utils.numerics)
+    phase = unit_phasor(-d / cfg.lam)
     cr = (gains[None, None, :] * amp * phase).astype(jnp.complex64)
 
     # reference-position path delays (tau output of helperApplyMUChannel)
@@ -176,9 +178,9 @@ def apply_channel(
     assert fft_size >= nsamp, "fft_size must cover the padded signal"
     delays = chan.tau * cfg.chan_srate                         # (ns,) samples
     k = jnp.asarray(_signed_bins(fft_size), jnp.float32)       # (F,)
-    ramp = jnp.exp(
-        (-2j * jnp.pi / fft_size) * k[:, None] * delays[None, :]
-    ).astype(jnp.complex64)                                    # (F, ns)
+    ramp = unit_phasor(
+        -k[:, None] * delays[None, :] / fft_size
+    )                                                          # (F, ns)
     hf = jnp.einsum("mns,fs->fmn", chan.cr, ramp)              # (F, Nt, Nr)
     xf = jnp.fft.fft(sig, n=fft_size, axis=0)                  # (F, Nt)
     yf = jnp.einsum("fm,fmn->fn", xf, hf)
@@ -204,7 +206,7 @@ def analytic_subcarrier_channel(
         np.asarray(cfg.carrier_locations, np.float32) - cfg.fft_length // 2
     )
     d = chan.tau * cfg.chan_srate - sync_delay.astype(jnp.float32)
-    ramp = jnp.exp(
-        (-2j * jnp.pi / cfg.fft_length) * bins[:, None] * d[None, :]
-    ).astype(jnp.complex64)                                    # (C, ns)
+    ramp = unit_phasor(
+        -bins[:, None] * d[None, :] / cfg.fft_length
+    )                                                          # (C, ns)
     return jnp.einsum("mns,cs->cmn", chan.cr, ramp)

@@ -1,0 +1,185 @@
+"""The CSI denoiser MLP — the heart of the reference (its FC model,
+``massiveMIMO_CSI_prediction_DNN.py:195-234``):
+
+    [time-domain LTF at one Rx antenna  ⧺  pilot column P[:, iTx]]
+        → Dense(h₀, relu) → BN → Dropout
+        → Dense(h₁, relu) → BN
+        → Dense(num_carriers, linear)
+
+Two independent real-valued networks (one for the real plane, one for
+the imaginary plane, ``:167-173``) are trained *simultaneously* here as
+one stacked model with a leading dim-axis of size 2 (vmap), instead of
+two sequential Keras fits.
+
+Implemented as plain-JAX pytrees (init/apply), so parameters can be
+sharded with `jax.sharding` and fed to Pallas inference kernels without
+framework indirection. Keras-compatible details: glorot-uniform init,
+BatchNormalization with momentum 0.99 / eps 1e-3 *after* the ReLU,
+inverted dropout, GaussianNoise applied only in training.
+
+Input options mirrored from the reference CLI: ``--inFraction`` (keep
+the first 1/f of the LTF), ``--decimate_max/avg`` (pool-2 decimation,
+``:198-203``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mamimo_tpu.config import SimConfig, TrainConfig
+
+Params = Dict[str, Any]
+
+
+def model_input_spec(cfg: SimConfig, tcfg: TrainConfig) -> Tuple[int, int]:
+    """(signal_len, total_in_dim) after fraction/decimation options."""
+    sig_len = cfg.len_ltf // int(tcfg.in_fraction)
+    if tcfg.decimate in ("max", "avg"):
+        sig_len //= 2
+    return sig_len, sig_len + cfg.num_tx
+
+
+def _glorot(key, fan_in, fan_out):
+    lim = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(
+        key, (fan_in, fan_out), jnp.float32, -lim, lim
+    )
+
+
+def init_csi_mlp(key, cfg: SimConfig, tcfg: TrainConfig) -> Tuple[Params, Params]:
+    """Initialize one plane's parameters.
+
+    Returns (params, bn_state) pytrees:
+      params: {'dense': [(w,b)...], 'out': (w,b), 'bn': [(scale,bias)...]}
+      bn_state: {'mean': [...], 'var': [...]} running statistics.
+    """
+    _, in_dim = model_input_spec(cfg, tcfg)
+    dims = (in_dim,) + tuple(tcfg.hidden)
+    keys = jax.random.split(key, len(tcfg.hidden) + 1)
+    dense = []
+    bn = []
+    bn_mean = []
+    bn_var = []
+    for i, h in enumerate(tcfg.hidden):
+        dense.append(
+            {"w": _glorot(keys[i], dims[i], h), "b": jnp.zeros((h,))}
+        )
+        if tcfg.use_bn:
+            bn.append({"scale": jnp.ones((h,)), "bias": jnp.zeros((h,))})
+            bn_mean.append(jnp.zeros((h,)))
+            bn_var.append(jnp.ones((h,)))
+    out = {
+        "w": _glorot(keys[-1], dims[-1], cfg.num_carriers),
+        "b": jnp.zeros((cfg.num_carriers,)),
+    }
+    params = {"dense": dense, "out": out, "bn": bn}
+    bn_state = {"mean": bn_mean, "var": bn_var}
+    return params, bn_state
+
+
+def preprocess_input(cfg: SimConfig, tcfg: TrainConfig, sig, pilot):
+    """Apply fraction/decimation and concat the pilot column.
+
+    sig: (..., len_sig) real plane of the received LTF;
+    pilot: (..., num_tx).
+    """
+    sig = sig[..., : cfg.len_ltf // int(tcfg.in_fraction)]
+    if tcfg.decimate == "max":
+        s = sig.reshape(sig.shape[:-1] + (-1, 2))
+        sig = jnp.max(s, axis=-1)
+    elif tcfg.decimate == "avg":
+        s = sig.reshape(sig.shape[:-1] + (-1, 2))
+        sig = jnp.mean(s, axis=-1)
+    return jnp.concatenate([sig, pilot], axis=-1)
+
+
+def csi_mlp_apply(
+    tcfg: TrainConfig,
+    params: Params,
+    bn_state: Params,
+    x,
+    *,
+    train: bool = False,
+    rng=None,
+):
+    """Forward pass on a preprocessed input batch x (batch, in_dim).
+
+    Returns (y, new_bn_state). In train mode, BN uses batch statistics
+    and updates the running stats; dropout is active (between hidden
+    layers only — the last hidden layer has BN but no dropout,
+    massiveMIMO_CSI_prediction_DNN.py:222-226).
+    """
+    new_mean, new_var = [], []
+    h = x
+    n_hidden = len(params["dense"])
+    for i, lyr in enumerate(params["dense"]):
+        h = h @ lyr["w"] + lyr["b"]
+        h = jax.nn.relu(h)
+        if params["bn"]:
+            if train:
+                mu = jnp.mean(h, axis=0)
+                var = jnp.var(h, axis=0)
+                m = tcfg.bn_momentum
+                new_mean.append(m * bn_state["mean"][i] + (1 - m) * mu)
+                new_var.append(m * bn_state["var"][i] + (1 - m) * var)
+            else:
+                mu = bn_state["mean"][i]
+                var = bn_state["var"][i]
+            h = (h - mu) * jax.lax.rsqrt(var + tcfg.bn_eps)
+            h = h * params["bn"][i]["scale"] + params["bn"][i]["bias"]
+        if train and tcfg.dropout > 0.0 and i < n_hidden - 1:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - tcfg.dropout
+            mask = jax.random.bernoulli(sub, keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0)
+    y = h @ params["out"]["w"] + params["out"]["b"]
+    if train and params["bn"]:
+        bn_state = {"mean": new_mean, "var": new_var}
+    return y, bn_state
+
+
+# ----------------------------------------------------------------------
+# Stacked real+imag model (leading axis 2)
+# ----------------------------------------------------------------------
+
+def init_stacked(key, cfg: SimConfig, tcfg: TrainConfig):
+    """Init both planes: every leaf gains a leading axis of size 2
+    ([0]=real, [1]=imag)."""
+    keys = jax.random.split(key, 2)
+    p0, s0 = init_csi_mlp(keys[0], cfg, tcfg)
+    p1, s1 = init_csi_mlp(keys[1], cfg, tcfg)
+    params = jax.tree.map(lambda a, b: jnp.stack([a, b]), p0, p1)
+    bn = jax.tree.map(lambda a, b: jnp.stack([a, b]), s0, s1)
+    return params, bn
+
+
+def stacked_apply(tcfg, params, bn_state, x2, *, train=False, rng=None):
+    """Apply both planes: x2 (2, batch, in_dim) → (2, batch, C)."""
+    if rng is not None:
+        rngs = jax.random.split(rng, 2)
+    else:
+        rngs = jnp.zeros((2, 2), jnp.uint32)
+
+    def one(p, s, x, r):
+        return csi_mlp_apply(tcfg, p, s, x, train=train,
+                             rng=r if train else None)
+
+    return jax.vmap(one)(params, bn_state, x2, rngs)
+
+
+def predict_complex(cfg, tcfg, params, bn_state, sig, pilot):
+    """Deployment-style complex prediction (inference.py:24-32): run the
+    real plane through model[0] and the imaginary plane through model[1],
+    recombine into a complex estimate.
+
+    sig: (batch, len_ltf) complex64; pilot: (batch, num_tx) float.
+    Returns (batch, num_carriers) complex64.
+    """
+    xr = preprocess_input(cfg, tcfg, jnp.real(sig), pilot)
+    xi = preprocess_input(cfg, tcfg, jnp.imag(sig), pilot)
+    x2 = jnp.stack([xr, xi])
+    y2, _ = stacked_apply(tcfg, params, bn_state, x2, train=False)
+    return (y2[0] + 1j * y2[1]).astype(jnp.complex64)

@@ -1,0 +1,213 @@
+"""On-device dataset generation + container.
+
+Replaces the reference's three-stage filesystem pipeline —
+MATLAB ``generate_maMIMO_LTF`` → .mat → ``create_massiveMIMO_CSIest_dnn_dataset.py``
+→ pickle → per-sample Python dict lookups in ``DataGenerator``
+(massiveMIMO_dataGenerator.py:294-316) — with a single on-device
+generator whose output arrays are gathered into batches *inside jit*.
+
+Sample ordering contract (must match the reference converter so the
+closed-loop evaluator can reshape predictions,
+create_massiveMIMO_CSIest_dnn_dataset.py:62):
+
+    sample_ix = pkt * (num_rx * num_tx) + i_rx * num_tx + i_tx
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamimo_tpu.config import SimConfig
+from mamimo_tpu.channel.scattering import Scenario, make_scenario
+from mamimo_tpu.ops.ltf import gen_preamble, pilot_p_matrix
+from mamimo_tpu.pipeline.sounding import sound_packet
+
+
+@dataclasses.dataclass
+class CSIDataset:
+    """Generated sounding dataset (the ``usr_data`` + pickle ``dataset.b``
+    equivalent, kept as dense arrays)."""
+
+    cfg: SimConfig
+    rx: np.ndarray           # (B, len_ltf, num_rx) complex64 received LTFs
+    h_ls: np.ndarray         # (B, C, num_tx, num_rx) complex64 LS labels
+    h_perfect: np.ndarray    # (B, C, num_tx, num_rx) oracle CSI
+    snr_cs: np.ndarray       # (B, num_rx) realized sounding SNR [dB]
+    noise_db: np.ndarray     # (B,) applied noise power [dB]
+    tau: np.ndarray          # (B, n_scatterers) path delays [s]
+    chan_delay: np.ndarray   # (B,) int32
+    snr_target: float
+    seed: int
+    scenario: Scenario
+    h_mmse: Optional[np.ndarray] = None   # (B, C, num_tx, num_rx) or None
+
+    # ------------------------------------------------------------------
+    @property
+    def num_packets(self) -> int:
+        return self.rx.shape[0]
+
+    @property
+    def num_samples(self) -> int:
+        return self.num_packets * self.cfg.num_tx * self.cfg.num_rx
+
+    def decompose_index(self, idx):
+        """sample index -> (packet, i_tx, i_rx), vector-safe."""
+        per_pkt = self.cfg.num_tx * self.cfg.num_rx
+        p = idx // per_pkt
+        rem = idx % per_pkt
+        i_rx = rem // self.cfg.num_tx
+        i_tx = rem % self.cfg.num_tx
+        return p, i_tx, i_rx
+
+    def pilot_matrix(self) -> np.ndarray:
+        return np.asarray(pilot_p_matrix(self.cfg.num_tx))
+
+    # ------------------------------------------------------------------
+    def packet_key(self, p: int):
+        """Regenerate the per-packet channel key (the prm.seed_p contract:
+        seeds persisted with the dataset, generate_maMIMO_LTF.m:33-41)."""
+        base = jax.random.PRNGKey(self.seed)
+        _, key_pkts = jax.random.split(base)
+        return jax.random.fold_in(key_pkts, p)
+
+    # ------------------------------------------------------------------
+    def extract_packets(self, n: int, reverse: bool = True) -> "CSIDataset":
+        """Slice the first (or last) n packets — ``extract_pkt.m``.
+
+        The BER evaluator takes the *last* n packets (isReverse=true,
+        BER_test_maMIMO_LTF.m:5), matching the by-packet tail val split.
+        """
+        if reverse:
+            sl = slice(self.num_packets - n, self.num_packets)
+        else:
+            sl = slice(0, n)
+        kw = {}
+        if self.h_mmse is not None:
+            kw["h_mmse"] = self.h_mmse[sl]
+        return dataclasses.replace(
+            self,
+            rx=self.rx[sl],
+            h_ls=self.h_ls[sl],
+            h_perfect=self.h_perfect[sl],
+            snr_cs=self.snr_cs[sl],
+            noise_db=self.noise_db[sl],
+            tau=self.tau[sl],
+            chan_delay=self.chan_delay[sl],
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        scen = {f"scenario_{k}": np.asarray(v)
+                for k, v in self.scenario._asdict().items()}
+        np.savez_compressed(
+            path,
+            rx=self.rx,
+            h_ls=self.h_ls,
+            h_perfect=self.h_perfect,
+            snr_cs=self.snr_cs,
+            noise_db=self.noise_db,
+            tau=self.tau,
+            chan_delay=self.chan_delay,
+            h_mmse=(self.h_mmse if self.h_mmse is not None
+                    else np.zeros(0, np.complex64)),
+            meta=np.frombuffer(
+                json.dumps(
+                    {"cfg": json.loads(self.cfg.to_json()),
+                     "snr_target": self.snr_target,
+                     "seed": self.seed}
+                ).encode(), dtype=np.uint8),
+            **scen,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CSIDataset":
+        z = np.load(path)
+        meta = json.loads(bytes(z["meta"]).decode())
+        cfg = SimConfig(**meta["cfg"])
+        scen = Scenario(**{
+            k[len("scenario_"):] : jnp.asarray(z[k])
+            for k in z.files if k.startswith("scenario_")
+        })
+        h_mmse = z["h_mmse"] if z["h_mmse"].size else None
+        return cls(
+            cfg=cfg,
+            rx=z["rx"],
+            h_ls=z["h_ls"],
+            h_perfect=z["h_perfect"],
+            snr_cs=z["snr_cs"],
+            noise_db=z["noise_db"],
+            tau=z["tau"],
+            chan_delay=z["chan_delay"],
+            snr_target=meta["snr_target"],
+            seed=meta["seed"],
+            scenario=scen,
+            h_mmse=h_mmse,
+        )
+
+
+def generate_dataset(
+    cfg: SimConfig,
+    seed: int,
+    num_packets: int,
+    snr_db: float,
+    with_mmse: bool = False,
+    noise_mode: str = "snr",
+    chunk: int = 32,
+    fft_size: int = 16384,
+    scenario: Scenario | None = None,
+) -> CSIDataset:
+    """Generate a sounding dataset on device.
+
+    One experiment = one fixed user placement (scenario) + per-packet
+    channel realizations (generate_maMIMO_LTF.m:33-51). Packets are
+    produced in jit-compiled vmapped chunks (the `screen` process fanout
+    of full_pipeline_maMIMO_DNNEst.sh:14-17 becomes a batch axis).
+    """
+    base = jax.random.PRNGKey(seed)
+    key_scen, key_pkts = jax.random.split(base)
+    scen = scenario if scenario is not None else make_scenario(cfg, key_scen)
+    preamble = gen_preamble(cfg, cfg.num_tx)
+
+    def one(k):
+        res, _ = sound_packet(
+            cfg, k, scen, snr_db, preamble=preamble, with_mmse=with_mmse,
+            noise_mode=noise_mode, fft_size=fft_size,
+        )
+        return res
+
+    batched = jax.jit(jax.vmap(one))
+
+    outs = []
+    for start in range(0, num_packets, chunk):
+        n = min(chunk, num_packets - start)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            key_pkts, jnp.arange(start, start + n)
+        )
+        outs.append(jax.device_get(batched(keys)))
+
+    def cat(name):
+        return np.concatenate([getattr(o, name) for o in outs], axis=0)
+
+    return CSIDataset(
+        cfg=cfg,
+        rx=cat("rx"),
+        h_ls=cat("h_ls"),
+        h_perfect=cat("h_perfect"),
+        h_mmse=cat("h_mmse") if with_mmse else None,
+        snr_cs=cat("snr_cs"),
+        noise_db=cat("noise_db"),
+        tau=cat("tau"),
+        chan_delay=cat("chan_delay"),
+        snr_target=float(snr_db),
+        seed=seed,
+        scenario=scen,
+    )

@@ -1,0 +1,359 @@
+"""Training loop for the CSI denoiser.
+
+Replaces the Keras fit of ``massiveMIMO_CSI_prediction_DNN.py:283-328``:
+
+* batch assembly happens **inside jit** as device gathers (replacing the
+  per-sample Python dict-lookup hot loop of
+  ``massiveMIMO_dataGenerator.py:294-316``);
+* the on-the-fly AWGN of the ``changeNoisePower`` callback + GaussianNoise
+  layer (``:86-102,191-193,295-308``) is a per-batch noise draw fused into
+  the training step: SNR ∈ awgn_snr_levels, per-plane noise std
+  ``sqrt(avg_sig_pow / 10^(SNR/10)) / sqrt(2)``;
+* both real/imag planes train simultaneously (stacked leading axis)
+  instead of two sequential fits;
+* EarlyStopping(patience=25, restore_best_weights) and
+  ReduceLROnPlateau(factor=0.1, patience=20, min_lr=lr/100) semantics are
+  reproduced per plane / on the summed val loss (``:285-286``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mamimo_tpu.config import SimConfig, TrainConfig
+from mamimo_tpu.models.mlp import (
+    init_stacked,
+    preprocess_input,
+    stacked_apply,
+)
+from mamimo_tpu.pipeline.dataset import CSIDataset
+from mamimo_tpu.train.ckpt import save_checkpoint
+
+
+class TrainResult(NamedTuple):
+    params: Any
+    bn_state: Any
+    history: Dict[str, list]
+    best_val: np.ndarray      # (2,) best val loss per plane
+    epochs_ran: int
+
+
+def _device_data(ds: CSIDataset):
+    return {
+        "rx": jnp.asarray(ds.rx),                   # (B, L, R) complex64
+        "h": jnp.asarray(ds.h_ls),                  # (B, C, T, R) complex64
+        "P": jnp.asarray(ds.pilot_matrix(), jnp.float32),  # (T, T)
+    }
+
+
+def _gather_batch(cfg: SimConfig, data, idx):
+    """Sample indices -> ((2,bs,L) planes, (bs,T) pilots, (2,bs,C) labels).
+
+    Ordering contract: idx = p*(R*T) + r*T + t
+    (create_massiveMIMO_CSIest_dnn_dataset.py:62).
+    """
+    per_pkt = cfg.num_tx * cfg.num_rx
+    p = idx // per_pkt
+    rem = idx % per_pkt
+    r = rem // cfg.num_tx
+    t = rem % cfg.num_tx
+    sig = data["rx"][p, :, r]                        # (bs, L) complex
+    pilot = data["P"].T[t]                           # (bs, T)
+    y = data["h"][p, :, t, r]                        # (bs, C) complex
+    x2 = jnp.stack([jnp.real(sig), jnp.imag(sig)])   # (2, bs, L)
+    y2 = jnp.stack([jnp.real(y), jnp.imag(y)])       # (2, bs, C)
+    return x2, pilot, y2
+
+
+def _split_indices(ds: CSIDataset, tcfg: TrainConfig):
+    """By-packet tail validation split (massiveMIMO_dataGenerator.py:47-55)."""
+    per_pkt = ds.cfg.num_tx * ds.cfg.num_rx
+    n_pkts = ds.num_packets
+    n_val_pkts = int(np.floor(n_pkts * tcfg.val_train_ratio))
+    n_train = (n_pkts - n_val_pkts) * per_pkt
+    all_idx = np.arange(ds.num_samples)
+    if tcfg.val_same_train:
+        return all_idx, all_idx
+    return all_idx[:n_train], all_idx[n_train:]
+
+
+def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
+                    opt):
+    levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
+
+    def loss_fn(params, bn_state, x2, pilot, y2, rng):
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, new_bn = stacked_apply(
+            tcfg, params, bn_state, xin, train=True, rng=rng
+        )
+        per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))   # (2,)
+        return jnp.sum(per_dim), (per_dim, new_bn)
+
+    @jax.jit
+    def train_step(params, bn_state, opt_state, idx, key, lr):
+        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        if tcfg.method == "default_snr":
+            k_snr, k_noise, k_drop = jax.random.split(key, 3)
+            # independent per-plane SNR draw (two independent Keras fits)
+            lev = levels[
+                jax.random.randint(k_snr, (2,), 0, len(levels))
+            ]
+            npow = avg_sig_pow / (10.0 ** (lev / 10.0))      # (2,)
+            std = jnp.sqrt(npow) / jnp.sqrt(2.0)
+            noise = jax.random.normal(k_noise, x2.shape)
+            x2 = x2 + noise * std[:, None, None]
+        else:
+            k_drop = key
+        (loss, (per_dim, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, bn_state, x2, pilot, y2, k_drop)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, opt_state, per_dim
+
+    @jax.jit
+    def eval_step(params, bn_state, idx):
+        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
+        return jnp.mean((pred - y2) ** 2, axis=(1, 2))
+
+    return train_step, eval_step
+
+
+def fit(
+    cfg: SimConfig,
+    tcfg: TrainConfig,
+    train_ds: CSIDataset,
+    val_ds: Optional[CSIDataset] = None,
+    workdir: Optional[str] = None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Train the stacked real/imag CSI MLP. Returns best-restored params."""
+    key = jax.random.PRNGKey(tcfg.seed)
+    k_init, k_train = jax.random.split(key)
+
+    data = _device_data(train_ds)
+    if val_ds is not None:
+        val_data = _device_data(val_ds)
+        train_idx = np.arange(train_ds.num_samples)
+        val_idx = np.arange(val_ds.num_samples)
+    else:
+        val_data = data
+        train_idx, val_idx = _split_indices(train_ds, tcfg)
+
+    # average real-plane signal power over the training inputs
+    # (generalizes the first-batch estimate of
+    #  massiveMIMO_CSI_prediction_DNN.py:298-302 to the full set)
+    per_pkt = cfg.num_tx * cfg.num_rx
+    train_pkts = max(1, len(train_idx) // per_pkt)
+    avg_sig_pow = float(np.mean(np.real(train_ds.rx[:train_pkts]) ** 2))
+
+    params, bn_state = init_stacked(k_init, cfg, tcfg)
+    opt = optax.scale_by_adam()
+    opt_state = opt.init(params)
+
+    train_step, eval_step = make_train_step(cfg, tcfg, data, avg_sig_pow, opt)
+    _, val_eval_step = make_train_step(cfg, tcfg, val_data, avg_sig_pow, opt)
+
+    bs = tcfg.batch_size
+    steps_per_epoch = max(1, len(train_idx) // bs)
+    val_steps = max(1, len(val_idx) // bs)
+
+    lr = tcfg.lr
+    min_lr = tcfg.lr * tcfg.min_lr_factor
+    best_val = np.asarray([np.inf, np.inf])
+    best_params = params
+    best_bn = bn_state
+    since_best = np.asarray([0, 0])
+    since_plateau = 0
+    best_sum = np.inf
+    history = {"loss_real": [], "loss_imag": [], "val_loss_real": [],
+               "val_loss_imag": [], "lr": []}
+    rng_host = np.random.default_rng(tcfg.seed)
+    epochs_ran = 0
+
+    for epoch in range(tcfg.epochs):
+        t0 = time.time()
+        perm = rng_host.permutation(len(train_idx))
+        ep_loss = np.zeros(2)
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(train_idx[perm[s * bs:(s + 1) * bs]])
+            kstep = jax.random.fold_in(k_train, epoch * steps_per_epoch + s)
+            params, bn_state, opt_state, per_dim = train_step(
+                params, bn_state, opt_state, idx, kstep, lr
+            )
+            ep_loss += np.asarray(per_dim)
+        ep_loss /= steps_per_epoch
+
+        val_loss = np.zeros(2)
+        for s in range(val_steps):
+            idx = jnp.asarray(val_idx[s * bs:(s + 1) * bs])
+            val_loss += np.asarray(val_eval_step(params, bn_state, idx))
+        val_loss /= val_steps
+
+        history["loss_real"].append(float(ep_loss[0]))
+        history["loss_imag"].append(float(ep_loss[1]))
+        history["val_loss_real"].append(float(val_loss[0]))
+        history["val_loss_imag"].append(float(val_loss[1]))
+        history["lr"].append(lr)
+        epochs_ran = epoch + 1
+
+        # per-plane best tracking (EarlyStopping restore_best_weights)
+        improved = val_loss < best_val
+        if improved.any():
+            host_p = jax.device_get(params)
+            host_b = jax.device_get(bn_state)
+            for d in range(2):
+                if improved[d]:
+                    best_val[d] = val_loss[d]
+                    since_best[d] = 0
+                    best_params = jax.tree.map(
+                        lambda bp, p, d=d: _set_plane(bp, p, d),
+                        best_params, host_p,
+                    )
+                    best_bn = jax.tree.map(
+                        lambda bb, b, d=d: _set_plane(bb, b, d),
+                        best_bn, host_b,
+                    )
+                else:
+                    since_best[d] += 1
+        else:
+            since_best += 1
+
+        # ReduceLROnPlateau on the summed val loss
+        vsum = float(val_loss.sum())
+        if vsum < best_sum - 1e-12:
+            best_sum = vsum
+            since_plateau = 0
+        else:
+            since_plateau += 1
+            if since_plateau >= tcfg.plateau_patience and lr > min_lr:
+                lr = max(lr * tcfg.plateau_factor, min_lr)
+                since_plateau = 0
+                if verbose:
+                    print(f"[fit] plateau: reducing lr to {lr:.2e}")
+
+        if verbose:
+            print(
+                f"[fit] epoch {epoch+1}/{tcfg.epochs} "
+                f"loss=({ep_loss[0]:.4e},{ep_loss[1]:.4e}) "
+                f"val=({val_loss[0]:.4e},{val_loss[1]:.4e}) "
+                f"lr={lr:.1e} {time.time()-t0:.1f}s"
+            )
+
+        if workdir is not None:
+            save_checkpoint(
+                os.path.join(workdir, "last"), cfg, tcfg, params, bn_state,
+                extra={"epoch": epoch + 1, "lr": lr,
+                       "best_val": best_val.tolist()},
+                opt_state=opt_state,
+            )
+
+        if (since_best >= tcfg.early_stop_patience).all():
+            if verbose:
+                print(f"[fit] early stop at epoch {epoch+1}")
+            break
+
+    best_params = jax.tree.map(jnp.asarray, best_params)
+    best_bn = jax.tree.map(jnp.asarray, best_bn)
+
+    if workdir is not None:
+        os.makedirs(workdir, exist_ok=True)
+        save_checkpoint(
+            os.path.join(workdir, "best"), cfg, tcfg, best_params, best_bn,
+            extra={"best_val": best_val.tolist(), "epochs": epochs_ran},
+        )
+        with open(os.path.join(workdir, "history.json"), "w") as f:
+            json.dump(history, f)
+        _plot_history(workdir, history)
+
+    return TrainResult(best_params, best_bn, history, best_val, epochs_ran)
+
+
+def _set_plane(best_leaf, new_leaf, d):
+    """Overwrite plane d of a stacked leaf (leading axis 2)."""
+    out = np.asarray(best_leaf).copy()
+    out[d] = np.asarray(new_leaf)[d]
+    return out
+
+
+def _plot_history(workdir: str, history: Dict[str, list]) -> None:
+    """Loss-curve PNGs (massiveMIMO_CSI_prediction_DNN.py:321-328)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    for d in ("real", "imag"):
+        plt.figure()
+        plt.semilogy(history[f"loss_{d}"], label="train")
+        plt.semilogy(history[f"val_loss_{d}"], label="validation")
+        plt.title("model loss for CSI mapping")
+        plt.ylabel("loss")
+        plt.xlabel("epoch")
+        plt.legend(loc="upper left")
+        plt.savefig(os.path.join(workdir, f"{d}_loss_prediction.png"))
+        plt.close()
+
+
+def evaluate_dataset(
+    cfg: SimConfig,
+    tcfg: TrainConfig,
+    params,
+    bn_state,
+    ds: CSIDataset,
+    batch_packets: int = 4,
+    drop_input: bool = False,
+    drop_key=None,
+):
+    """Predict complex CSI for every sample of a dataset, in original
+    order, batched by whole packets (test batch = nTX·nRX,
+    massiveMIMO_CSI_prediction_DNN.py:337-339).
+
+    Returns (pred (B, C, T, R) complex64, per-plane MSE vs ds.h_ls).
+    """
+    data = _device_data(ds)
+
+    @jax.jit
+    def step(idx, key):
+        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        if drop_input:
+            # binomial input mask test (--testDropInput, :377-398)
+            keep = 1.0 - tcfg.input_dropout
+            mask = jax.random.bernoulli(key, keep, x2.shape)
+            x2 = x2 * mask
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
+        mse = jnp.mean((pred - y2) ** 2, axis=(1, 2))
+        return pred, mse
+
+    per_pkt = cfg.num_tx * cfg.num_rx
+    preds = []
+    mses = []
+    key = drop_key if drop_key is not None else jax.random.PRNGKey(0)
+    for start in range(0, ds.num_packets, batch_packets):
+        n = min(batch_packets, ds.num_packets - start)
+        idx = jnp.arange(start * per_pkt, (start + n) * per_pkt)
+        k = jax.random.fold_in(key, start)
+        pred, mse = step(idx, k)
+        preds.append(np.asarray(pred))
+        mses.append(np.asarray(mse) * n)
+    pred = np.concatenate(preds, axis=1)          # (2, B*T*R, C)
+    mse = np.sum(mses, axis=0) / ds.num_packets
+    cplx = (pred[0] + 1j * pred[1]).astype(np.complex64)
+    # reshape sample order (p, r, t) -> (B, C, T, R)
+    out = cplx.reshape(ds.num_packets, cfg.num_rx, cfg.num_tx,
+                       cfg.num_carriers)
+    out = np.transpose(out, (0, 3, 2, 1))
+    return out, mse
