@@ -1,0 +1,159 @@
+"""SNR sweep driver + aggregation + plots.
+
+Replaces the `screen`-fanout per-SNR MATLAB jobs and
+``snr_loop_testing.m``: generate (or load) a test set per SNR level, run
+the DNN and the closed loop, aggregate means with 95% t-confidence
+intervals (``compute_CI``, snr_loop_testing.m:112-116), and emit the four
+reference plots (BER / EVM / MSE / beamforming gain vs SNR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mamimo_tpu.config import SimConfig, TrainConfig
+from mamimo_tpu.eval.closed_loop import evaluate_closed_loop, nmse_vs_snr
+from mamimo_tpu.pipeline.dataset import CSIDataset, generate_dataset
+
+
+def compute_ci(x: np.ndarray, alpha: float = 0.05):
+    """95% t-distribution confidence interval of the mean
+    (snr_loop_testing.m:112-116)."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    sem = np.std(x, ddof=1) / np.sqrt(n) if n > 1 else 0.0
+    try:
+        from scipy import stats
+        ts = stats.t.ppf([alpha / 2, 1 - alpha / 2], n - 1)
+    except Exception:                                   # pragma: no cover
+        ts = np.asarray([-1.96, 1.96])
+    return (float(np.mean(x) + ts[0] * sem), float(np.mean(x) + ts[1] * sem))
+
+
+@dataclasses.dataclass
+class SweepResult:
+    snr_levels: List[float]
+    # metric[source][snr_index]
+    nmse: Dict[str, List[float]]
+    nmse_ci: Dict[str, List[tuple]]
+    ber: Dict[str, List[float]]
+    evm: Dict[str, List[float]]
+    bf_gain: Dict[str, List[float]]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+
+def run_snr_sweep(
+    cfg: SimConfig,
+    snr_levels: Sequence[float],
+    num_packets: int,
+    seed: int = 0,
+    predictor=None,
+    closed_loop: bool = False,
+    max_cl_packets: int = 50,
+    with_mmse: bool = True,
+    chunk: int = 16,
+    datasets: Optional[Dict[float, CSIDataset]] = None,
+    verbose: bool = True,
+) -> SweepResult:
+    """Evaluate estimators across an SNR sweep.
+
+    Args:
+      predictor: optional callable ds -> (B, C, Nt, Nr) complex DNN CSI.
+      closed_loop: also run the (slow) BER/EVM/BF-gain loop.
+      datasets: optional pre-generated {snr: dataset} (else generated
+        here with the SAME experiment seed per level, mirroring the
+        shared-scenario SNR loop of snr_loop.m).
+    """
+    sources = ["ls"] + (["lmmse"] if with_mmse else []) + (
+        ["dnn"] if predictor is not None else []
+    )
+    out = SweepResult(
+        snr_levels=list(map(float, snr_levels)),
+        nmse={s: [] for s in sources},
+        nmse_ci={s: [] for s in sources},
+        ber={s: [] for s in sources + ["perfect"]},
+        evm={s: [] for s in sources + ["perfect"]},
+        bf_gain={s: [] for s in sources + ["perfect"]},
+    )
+    for snr in snr_levels:
+        if datasets is not None and snr in datasets:
+            ds = datasets[snr]
+        else:
+            ds = generate_dataset(
+                cfg, seed=seed, num_packets=num_packets, snr_db=snr,
+                with_mmse=with_mmse, chunk=chunk,
+            )
+        preds = predictor(ds) if predictor is not None else None
+        per_pkt = nmse_vs_snr(ds, preds)
+        for s in sources:
+            vals = per_pkt[s]
+            out.nmse[s].append(float(np.mean(vals)))
+            out.nmse_ci[s].append(compute_ci(vals))
+        if closed_loop:
+            cl = evaluate_closed_loop(
+                ds, predictions=preds,
+                sources=tuple(sources) + ("perfect",),
+                max_packets=max_cl_packets,
+            )
+            for s, m in cl.items():
+                out.ber[s].append(float(np.mean(m.ber)))
+                out.evm[s].append(float(np.mean(m.evm)))
+                out.bf_gain[s].append(float(np.mean(m.bf_gain)))
+        if verbose:
+            msg = f"[sweep] SNR {snr:+.0f} dB: " + "  ".join(
+                f"{s} NMSE {10*np.log10(out.nmse[s][-1]+1e-30):.2f} dB"
+                for s in sources
+            )
+            print(msg)
+    return out
+
+
+def plot_sweep(result: SweepResult, outdir: str) -> None:
+    """The four reference plots (snr_loop_testing.m:67-107)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:                                   # pragma: no cover
+        return
+    os.makedirs(outdir, exist_ok=True)
+    snr = result.snr_levels
+    styles = {"ls": "-o", "lmmse": "-x", "dnn": "-*", "perfect": "-s"}
+    labels = {"ls": "LS", "lmmse": "MMSE", "dnn": "Proposed",
+              "perfect": "Perfect"}
+
+    def plot(metric: Dict[str, list], name: str, ylabel: str, logy: bool):
+        if not any(len(v) for v in metric.values()):
+            return
+        plt.figure()
+        for s, vals in metric.items():
+            if not vals:
+                continue
+            if logy:
+                plt.semilogy(snr, vals, styles.get(s, "-"),
+                             label=labels.get(s, s))
+            else:
+                plt.plot(snr, vals, styles.get(s, "-"),
+                         label=labels.get(s, s))
+        plt.grid(True)
+        plt.xlabel("SNR (dB)")
+        plt.ylabel(ylabel)
+        plt.legend()
+        plt.savefig(os.path.join(outdir, name + ".png"))
+        plt.close()
+
+    plot(result.nmse, "MSE", "NMSE", logy=True)
+    plot(result.ber, "BER", "Bit error rate (BER)", logy=True)
+    plot(result.evm, "EVM", "EVM RMS (%)", logy=False)
+    plot(result.bf_gain, "BeamformGain", "Beamforming gain (dB)", logy=False)

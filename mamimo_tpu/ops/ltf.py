@@ -136,12 +136,16 @@ def gen_preamble(cfg: SimConfig, num_sts: int | None = None, v=None):
 
     if v is not None:
         v = jnp.asarray(v, jnp.complex64)  # (C, nsts, nout)
-        # Frobenius normalization per carrier, as in the data precoding
-        # (generate_maMIMO_LTF.m:487-491): normQ = Q*sqrt(numTx)/||Q||_F.
+        # Unit-Frobenius normalization per carrier. NOTE: deliberately
+        # *without* the sqrt(numTx) factor that the data symbols get
+        # (generate_maMIMO_LTF.m:487-491) — the receiver divides the
+        # equalized data symbols by sqrt(numTx) (:590), which lands them
+        # back on the unit constellation only if the preamble precoder is
+        # sqrt(numTx) weaker than the data precoder.
         fro = jnp.sqrt(
             jnp.sum(jnp.abs(v) ** 2, axis=(-2, -1), keepdims=True)
         )
-        norm_v = v * math.sqrt(cfg.num_tx) / jnp.maximum(fro, 1e-30)
+        norm_v = v / jnp.maximum(fro, 1e-30)
         carr = np.asarray(cfg.carrier_locations, np.int32)
         full_v = jnp.zeros(
             (cfg.fft_length,) + v.shape[1:], jnp.complex64

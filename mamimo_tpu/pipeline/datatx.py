@@ -1,0 +1,157 @@
+"""Closed-loop data-transmission leg: hybrid precoding → QPSK/OFDM data
+frame → channel → receiver → equalize → decode → BER/EVM/BF-gain.
+
+On-device replacement for the ``~isOnlyCSI`` branch of
+``generate_maMIMO_LTF.m:403-640`` and the per-estimator evaluation loop
+of ``BER_test_maMIMO_LTF.m:347-647`` (single-user path): given a CSI
+estimate from any source (LS / LMMSE / DNN / perfect), compute OMP hybrid
+weights, transmit a coded QPSK frame through the *same* per-packet channel
+(preamble-primed, helperApplyMUChannel.m:26-35), and recover the bits.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mamimo_tpu.config import SimConfig
+from mamimo_tpu.channel.noise import sync_slice
+from mamimo_tpu.channel.scattering import (
+    ChannelRealization,
+    Scenario,
+    apply_channel,
+    steering_vectors,
+    ula_positions,
+)
+from mamimo_tpu.ops.coding import (
+    conv_encode,
+    gen_pilots,
+    mimo_equalize,
+    qpsk_constellation,
+    qpsk_demod_llr,
+    qpsk_mod,
+    viterbi_decode,
+)
+from mamimo_tpu.ops.estimate import ls_estimate
+from mamimo_tpu.ops.ltf import gen_preamble
+from mamimo_tpu.ops.metrics import bit_error_rate, evm_rms
+from mamimo_tpu.ops.ofdm import ofdm_demodulate, ofdm_modulate
+from mamimo_tpu.ops.omp import omp_hyb_weights
+
+
+class DataTxResult(NamedTuple):
+    ber: jnp.ndarray          # ()
+    evm: jnp.ndarray          # () RMS EVM %
+    snr_dt: jnp.ndarray       # (num_rx,) data-transmission SNR [dB]
+    bf_gain: jnp.ndarray      # () mean(snr_DT) − mean(snr_CS) [dB]
+
+
+def steering_dictionary(cfg: SimConfig, key):
+    """Random-ray steering dictionary At (generate_maMIMO_LTF.m:413-418):
+    nRays random [az; el] directions over the BS ULA."""
+    k1, k2 = jax.random.split(key)
+    az = jax.random.uniform(k1, (cfg.n_rays,), minval=-180.0, maxval=180.0)
+    el = jax.random.uniform(k2, (cfg.n_rays,), minval=-90.0, maxval=90.0)
+    pos_wl = jnp.asarray(ula_positions(cfg.num_tx, 0.5))  # in wavelengths
+    return steering_vectors(pos_wl, az, el)               # (Nt, nRays)
+
+
+def run_data_transmission(
+    cfg: SimConfig,
+    key,
+    scen: Scenario,
+    chan: ChannelRealization,
+    csi,
+    noise_db,
+    snr_cs,
+    fft_size: int = 32768,
+) -> DataTxResult:
+    """One packet's closed-loop data transmission with a given CSI source.
+
+    Args:
+      key: PRNG key (steering rays, data bits, receiver noise).
+      chan: the packet's channel realization (same seed as sounding).
+      csi: (C, num_tx, num_rx) channel estimate used for precoding.
+      noise_db: scalar noise power from the sounding stage (the evaluator
+        reuses it, BER_test_maMIMO_LTF.m:254-257,502).
+      snr_cs: (num_rx,) sounding SNR for the beamforming-gain metric.
+    """
+    k_rays, k_bits, k_noise = jax.random.split(key, 3)
+    ns = cfg.num_sts
+
+    # --- hybrid weights from CSI (generate_maMIMO_LTF.m:408-426) ---
+    at = steering_dictionary(cfg, k_rays)
+    fbb, frf = omp_hyb_weights(csi, ns, ns, at)
+    v = fbb                                            # (C, ns, ntrf=ns)
+    m_frf = jnp.mean(frf, axis=0)                      # (ns, Nt)
+
+    # --- coded QPSK frame (:461-492) ---
+    bits = jax.random.bernoulli(k_bits, 0.5, (cfg.num_frm_bits,)).astype(
+        jnp.int32
+    )
+    coded = conv_encode(bits, terminated=True)         # (3*(K+6),)
+    syms = qpsk_mod(coded)                             # (C*nsym,)
+    grid = syms.reshape(cfg.num_data_symbols, cfg.num_carriers, ns)
+    grid = jnp.moveaxis(grid, 0, 1)                    # (C, nsym, ns)
+
+    # per-carrier precoding with Frobenius-normalized v (:485-492)
+    fro = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=(1, 2), keepdims=True))
+    norm_v = v * math.sqrt(cfg.num_tx) / jnp.maximum(fro, 1e-30)
+    pre_data = jnp.einsum("cnj,cjo->cno", grid, norm_v)  # (C, nsym, ns)
+
+    pilots = gen_pilots(cfg.num_data_symbols, ns)
+    tx_ofdm = ofdm_modulate(cfg, pre_data, pilots)
+    tx_ofdm = tx_ofdm * (cfg.fft_length / math.sqrt(cfg.used_sc))
+
+    # data-phase preamble with feedback weights (:505)
+    preamble_d = gen_preamble(cfg, ns, v=v)
+    tx_sts = jnp.concatenate([preamble_d, tx_ofdm], axis=0)  # (L, ns)
+    tx_sig = tx_sts @ m_frf                                  # (L, Nt)
+
+    # --- channel, preamble-primed (helperApplyMUChannel.m:26-35) ---
+    pre_sound = gen_preamble(cfg, cfg.num_tx)
+    pad = jnp.zeros((cfg.num_pad_zeros, cfg.num_tx), tx_sig.dtype)
+    sig_pad = jnp.concatenate(
+        [pre_sound, pad, tx_sig, jnp.zeros_like(pad)], axis=0
+    )
+    faded = apply_channel(cfg, sig_pad, chan, fft_size=fft_size)
+    faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros :]
+
+    # --- receiver (:538-575) ---
+    gain_db = scen.sp_loss_db
+    sig_pwr = jnp.mean(jnp.abs(faded) ** 2, axis=0)
+    sig_db = 10.0 * jnp.log10(sig_pwr)
+    snr_dt = sig_db - noise_db + gain_db
+    n_var_time = 10.0 ** (noise_db / 10.0)
+    z = jax.random.normal(k_noise, faded.shape + (2,))
+    noise = (z[..., 0] + 1j * z[..., 1]) * jnp.sqrt(n_var_time / 2.0)
+    y = 10.0 ** (gain_db / 20.0) * faded + noise.astype(jnp.complex64)
+    y = y * (math.sqrt(cfg.used_sc) / cfg.fft_length)
+    # subcarrier-domain noise variance for the LLRs (:567-569)
+    n_var = n_var_time * (cfg.used_sc / cfg.fft_length**2) / cfg.num_tx
+
+    y_sync = sync_slice(cfg, y, chan.chan_delay)
+    nsym_tot = ns + cfg.num_data_symbols
+    rx_grid, _ = ofdm_demodulate(cfg, y_sync, nsym=nsym_tot)
+
+    # channel estimate from the mapped preamble (first ns symbols, :578)
+    h_eff = ls_estimate(cfg, rx_grid[:, :ns, :], ns)   # (C, ns, Nr)
+    rx_eq, csi_w = mimo_equalize(rx_grid[:, ns:, :], h_eff)
+
+    # flatten carrier-fastest (MATLAB rxEq(:) column-major, :590)
+    rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
+        cfg.num_tx
+    )
+    llr = qpsk_demod_llr(rx_syms, n_var)               # (2*C*nsym,)
+    # CSI scaling per subcarrier (:594-598)
+    csi_k = jnp.tile(csi_w[:, 0], cfg.num_data_symbols)   # sym-major, c fast
+    llr = (llr.reshape(-1, 2) * csi_k[:, None]).reshape(-1)
+
+    decoded = viterbi_decode(llr, cfg.num_frm_bits, terminated=True)
+    ber = bit_error_rate(bits, decoded)
+    evm = evm_rms(rx_syms, qpsk_constellation())
+    bf_gain = jnp.mean(snr_dt) - jnp.mean(snr_cs)
+    return DataTxResult(ber=ber, evm=evm, snr_dt=snr_dt, bf_gain=bf_gain)

@@ -96,6 +96,6 @@ def test_precoded_preamble(small_cfg):
     grid, _ = ofdm_demodulate(cfg, pre, nsym=ns)
     hd = np.asarray(ls_estimate(cfg, grid, ns))  # (C, ns, Nt)
     fro = np.sqrt(np.sum(np.abs(v) ** 2, axis=(1, 2), keepdims=True))
-    norm_v = v * np.sqrt(cfg.num_tx) / fro
+    norm_v = v / fro
     expect = norm_v * preamble_scale(cfg, ns)
     np.testing.assert_allclose(hd, expect, atol=2e-3)
