@@ -1,0 +1,292 @@
+"""Command-line interface — replaces the bash driver
+(``full_pipeline_maMIMO_DNNEst.sh`` + ``setenv.sh``) and the 33-flag
+train/test script (``massiveMIMO_CSI_prediction_DNN.py:4-34``) with
+typed subcommands over one config:
+
+    python -m mamimo_tpu.cli gen      — generate a sounding dataset
+    python -m mamimo_tpu.cli train    — train the CSI denoiser
+    python -m mamimo_tpu.cli test     — predict + export + NMSE report
+    python -m mamimo_tpu.cli sweep    — NMSE/BER/EVM/BF-gain vs SNR
+    python -m mamimo_tpu.cli pipeline — gen → train → sweep end-to-end
+    python -m mamimo_tpu.cli bench    — throughput benchmark
+    python -m mamimo_tpu.cli convert  — reference .mat/.b ↔ native npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_sim_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--num-tx", type=int, default=32)
+    p.add_argument("--num-rx", type=int, default=4)
+    p.add_argument("--scatterers", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _sim_cfg(args):
+    from mamimo_tpu.config import SimConfig
+
+    return SimConfig(num_tx=args.num_tx, num_rx=args.num_rx,
+                     n_scatterers=args.scatterers)
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--nn", type=int, nargs="+", default=[1024, 1024])
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--dropout", type=float, default=0.15)
+    p.add_argument("--no-bn", action="store_true")
+    p.add_argument("--method", default="default_snr",
+                   choices=["default", "default_snr"])
+    p.add_argument("--val-train-ratio", type=float, default=0.15)
+    p.add_argument("--val-same-train", action="store_true")
+    p.add_argument("--in-fraction", type=int, default=1)
+    p.add_argument("--decimate", default="none",
+                   choices=["none", "max", "avg"])
+
+
+def _train_cfg(args):
+    from mamimo_tpu.config import TrainConfig
+
+    return TrainConfig(
+        hidden=tuple(args.nn), lr=args.lr, batch_size=args.bs,
+        epochs=args.epochs, dropout=args.dropout, use_bn=not args.no_bn,
+        method=args.method, val_train_ratio=args.val_train_ratio,
+        val_same_train=args.val_same_train, in_fraction=args.in_fraction,
+        decimate=args.decimate, seed=args.seed,
+    )
+
+
+def cmd_gen(args) -> None:
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+
+    cfg = _sim_cfg(args)
+    ds = generate_dataset(
+        cfg, seed=args.seed, num_packets=args.packets, snr_db=args.snr,
+        with_mmse=args.mmse, noise_mode=args.noise_mode, chunk=args.chunk,
+    )
+    ds.save(args.out)
+    print(f"[gen] wrote {args.out}: {ds.num_packets} packets @ "
+          f"{args.snr} dB ({ds.num_samples} samples)")
+
+
+def cmd_train(args) -> None:
+    from mamimo_tpu.pipeline.dataset import CSIDataset
+    from mamimo_tpu.train import fit
+
+    ds = CSIDataset.load(args.dataset)
+    tcfg = _train_cfg(args)
+    val_ds = CSIDataset.load(args.val) if args.val else None
+    res = fit(ds.cfg, tcfg, ds, val_ds=val_ds, workdir=args.workdir)
+    print(f"[train] done: {res.epochs_ran} epochs, "
+          f"best val = {res.best_val.tolist()} -> {args.workdir}")
+
+
+def cmd_test(args) -> None:
+    import jax
+
+    from mamimo_tpu.data.matlab_io import export_predictions_mat
+    from mamimo_tpu.eval.closed_loop import nmse_vs_snr
+    from mamimo_tpu.pipeline.dataset import CSIDataset
+    from mamimo_tpu.train.ckpt import load_checkpoint
+    from mamimo_tpu.train.loop import evaluate_dataset
+
+    ds = CSIDataset.load(args.dataset)
+    ck = load_checkpoint(os.path.join(args.modeldir, "best"))
+    pred, mse = evaluate_dataset(
+        ds.cfg, ck["tcfg"], ck["params"], ck["bn_state"], ds,
+        drop_input=args.test_drop_input,
+        drop_key=jax.random.PRNGKey(args.seed),
+    )
+    print(f"[test] per-plane MSE vs labels: {mse.tolist()}")
+    nm = nmse_vs_snr(ds, pred)
+    for k, v in nm.items():
+        print(f"[test] {k} NMSE = {10 * np.log10(np.mean(v)):.2f} dB")
+    os.makedirs(args.workdir, exist_ok=True)
+    np.savez_compressed(os.path.join(args.workdir, "predictions.npz"),
+                        pred=pred)
+    if args.export_mat:
+        export_predictions_mat(args.workdir, pred, ds.rx, ds.h_ls,
+                               ds.pilot_matrix())
+    with open(os.path.join(args.workdir, "test_report.json"), "w") as f:
+        json.dump({k: float(np.mean(v)) for k, v in nm.items()}, f)
+
+
+def _make_predictor(modeldir):
+    from mamimo_tpu.train.ckpt import load_checkpoint
+    from mamimo_tpu.train.loop import evaluate_dataset
+
+    ck = load_checkpoint(os.path.join(modeldir, "best"))
+
+    def predictor(ds):
+        pred, _ = evaluate_dataset(
+            ds.cfg, ck["tcfg"], ck["params"], ck["bn_state"], ds
+        )
+        return pred
+
+    return predictor
+
+
+def cmd_sweep(args) -> None:
+    from mamimo_tpu.eval.snr_sweep import plot_sweep, run_snr_sweep
+
+    cfg = _sim_cfg(args)
+    predictor = _make_predictor(args.modeldir) if args.modeldir else None
+    res = run_snr_sweep(
+        cfg, snr_levels=args.snr, num_packets=args.packets, seed=args.seed,
+        predictor=predictor, closed_loop=args.closed_loop,
+        max_cl_packets=args.cl_packets, chunk=args.chunk,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    res.save(os.path.join(args.out, "sweep.json"))
+    plot_sweep(res, args.out)
+    print(f"[sweep] wrote {args.out}/sweep.json + plots")
+
+
+def cmd_pipeline(args) -> None:
+    """Full pipeline: train-set gen → train → per-SNR test gen → sweep.
+    The end-to-end equivalent of full_pipeline_maMIMO_DNNEst.sh."""
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+    from mamimo_tpu.eval.snr_sweep import plot_sweep, run_snr_sweep
+    from mamimo_tpu.train import fit
+
+    cfg = _sim_cfg(args)
+    tcfg = _train_cfg(args)
+    os.makedirs(args.workdir, exist_ok=True)
+
+    print(f"[pipeline] generating {args.train_packets} train packets "
+          f"(noiseless SNR=120)...")
+    train_ds = generate_dataset(
+        cfg, seed=args.seed, num_packets=args.train_packets, snr_db=120.0,
+        chunk=args.chunk,
+    )
+    print("[pipeline] training...")
+    res = fit(cfg, tcfg, train_ds, workdir=args.workdir)
+
+    predictor = _make_predictor(args.workdir)
+    sweep = run_snr_sweep(
+        cfg, snr_levels=args.snr, num_packets=args.packets,
+        seed=args.seed + 1, predictor=predictor,
+        closed_loop=args.closed_loop, max_cl_packets=args.cl_packets,
+        chunk=args.chunk,
+    )
+    outdir = os.path.join(args.workdir, "test_results")
+    os.makedirs(outdir, exist_ok=True)
+    sweep.save(os.path.join(outdir, "sweep.json"))
+    plot_sweep(sweep, outdir)
+    print(f"[pipeline] complete -> {outdir}")
+
+
+def cmd_convert(args) -> None:
+    from mamimo_tpu.data.sources import get_datasource
+
+    d = get_datasource(args.datasource)(args.input)
+    if args.to == "pickle":
+        from mamimo_tpu.data.matlab_io import save_pickle_dataset
+
+        save_pickle_dataset(d["rx"], d["h_ls"], d["P"], d["sim_params"],
+                            args.out, seed=args.seed)
+    else:
+        np.savez_compressed(args.out, rx=d["rx"], h_ls=d["h_ls"],
+                            P=d["P"],
+                            sim_params=json.dumps(d["sim_params"]))
+    print(f"[convert] {args.input} ({args.datasource}) -> {args.out}")
+
+
+def cmd_bench(args) -> None:
+    from mamimo_tpu.bench import run_bench
+
+    run_bench(batch_packets=args.batch, iters=args.iters,
+              profile_dir=args.profile_dir)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="mamimo_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate sounding dataset")
+    _add_sim_args(g)
+    g.add_argument("--packets", type=int, default=500)
+    g.add_argument("--snr", type=float, default=120.0)
+    g.add_argument("--mmse", action="store_true")
+    g.add_argument("--noise-mode", default="snr", choices=["snr", "sinr"])
+    g.add_argument("--chunk", type=int, default=16)
+    g.add_argument("-o", "--out", required=True)
+    g.set_defaults(fn=cmd_gen)
+
+    t = sub.add_parser("train", help="train the CSI denoiser")
+    t.add_argument("-x", "--dataset", required=True)
+    t.add_argument("-y", "--val", default="")
+    t.add_argument("-d", "--workdir", required=True)
+    t.add_argument("--seed", type=int, default=0)
+    _add_train_args(t)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("test", help="predict + export + NMSE report")
+    e.add_argument("-x", "--dataset", required=True)
+    e.add_argument("--modeldir", required=True)
+    e.add_argument("-d", "--workdir", required=True)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--export-mat", action="store_true",
+                   help="write reference-format prediction .mat files")
+    e.add_argument("--test-drop-input", action="store_true")
+    e.set_defaults(fn=cmd_test)
+
+    s = sub.add_parser("sweep", help="metrics vs SNR")
+    _add_sim_args(s)
+    s.add_argument("--snr", type=float, nargs="+",
+                   default=[-25, -20, -15, -10, -5, 0, 5, 10])
+    s.add_argument("--packets", type=int, default=500)
+    s.add_argument("--modeldir", default="")
+    s.add_argument("--closed-loop", action="store_true")
+    s.add_argument("--cl-packets", type=int, default=50)
+    s.add_argument("--chunk", type=int, default=16)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(fn=cmd_sweep)
+
+    pl = sub.add_parser("pipeline", help="gen -> train -> sweep")
+    _add_sim_args(pl)
+    _add_train_args(pl)
+    pl.add_argument("--train-packets", type=int, default=3000)
+    pl.add_argument("--packets", type=int, default=500,
+                    help="test packets per SNR")
+    pl.add_argument("--snr", type=float, nargs="+",
+                    default=[-25, -20, -15, -10, -5, 0, 5, 10])
+    pl.add_argument("--closed-loop", action="store_true")
+    pl.add_argument("--cl-packets", type=int, default=50)
+    pl.add_argument("--chunk", type=int, default=16)
+    pl.add_argument("-d", "--workdir", required=True)
+    pl.set_defaults(fn=cmd_pipeline)
+
+    c = sub.add_parser("convert", help="reference format interop")
+    c.add_argument("-x", "--input", required=True)
+    c.add_argument("--datasource", default="matlab_maMimo")
+    c.add_argument("--to", default="npz", choices=["npz", "pickle"])
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("-o", "--out", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("--batch", type=int, default=64)
+    b.add_argument("--iters", type=int, default=20)
+    b.add_argument("--profile-dir", default="")
+    b.set_defaults(fn=cmd_bench)
+
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Sharded compute paths: sequence-parallel LS estimation and a
+DP+TP training step.
+
+Greenfield distributed design (the reference has none, SURVEY.md §2.4):
+
+* ``sharded_ls_estimate`` — shard_map over the ``seq`` axis: the
+  preamble's LTF symbols are distributed across devices at clean
+  320-sample symbol boundaries; each device FFT-demods its local symbols
+  and computes a *partial* P-despread, and a single ``psum`` over ICI
+  completes the estimate. This is the time-block sharding called for by
+  BASELINE.json config 5 — the despread *is* the block-boundary
+  reduction, so no halo exchange is needed for the sounding path.
+
+* ``make_sharded_train_step`` — jit over a (data, model) mesh: batch on
+  ``data`` (gradient allreduce inserted by XLA), MLP hidden dim on
+  ``model`` (column-parallel layer 0, row-parallel layer 1 → XLA inserts
+  the reduce-scatter/all-reduce pair), stacked real/imag axis replicated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mamimo_tpu.config import SimConfig, TrainConfig
+from mamimo_tpu.ops.ltf import ltf_data_carriers, pilot_p_matrix
+
+
+# ----------------------------------------------------------------------
+# Sequence-parallel LS estimation
+# ----------------------------------------------------------------------
+
+def sharded_ls_estimate(cfg: SimConfig, mesh: Mesh, rx, axis: str = "seq"):
+    """LS channel estimation with the preamble sharded over OFDM symbols.
+
+    Args:
+      mesh: mesh containing ``axis`` (num_tx must be divisible by its
+        size).
+      rx: (B, len_ltf, num_rx) complex received preambles (replicated or
+        sharded on batch — only the symbol axis is repartitioned here).
+
+    Returns:
+      (B, C, num_tx, num_rx) complex LS estimate, fully replicated.
+    """
+    n_shard = mesh.shape[axis]
+    nsym = cfg.num_tx
+    assert nsym % n_shard == 0, "num_tx symbols must divide over seq axis"
+    loc = nsym // n_shard
+    P_full = np.asarray(pilot_p_matrix(cfg.num_tx))          # (T, nltf)
+    ltf = np.asarray(ltf_data_carriers(cfg))
+    carr = np.asarray(cfg.carrier_locations, np.int32)
+
+    def local(rx_blk):
+        # rx_blk: (B, loc*sym_len, R) — this device's symbols
+        b, _, r = rx_blk.shape
+        x = rx_blk.reshape(b, loc, cfg.sym_len, r)[:, :, cfg.cp_length:, :]
+        X = jnp.fft.fftshift(jnp.fft.fft(x, axis=2), axes=2)
+        X = X[:, :, carr, :]                                 # (B, loc, C, R)
+        i = jax.lax.axis_index(axis)
+        # this device's columns of the despreading matrix
+        p_loc = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(P_full), i * loc, loc, axis=1
+        )                                                    # (T, loc)
+        part = jnp.einsum("bncr,jn->bcjr", X, p_loc.astype(X.dtype))
+        total = jax.lax.psum(part, axis)
+        denom = (nsym * ltf).astype(jnp.float32)
+        return total / denom[None, :, None, None]
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard(jnp.asarray(rx, jnp.complex64))
+
+
+# ----------------------------------------------------------------------
+# DP + TP training step
+# ----------------------------------------------------------------------
+
+def param_shardings(mesh: Mesh, params: Any, bn_state: Any,
+                    model_axis: str = "model"):
+    """NamedShardings for the stacked MLP: layer-0 weight column-parallel,
+    layer-1+ row/column alternating, BN vectors follow their layer's
+    output sharding. The stacked (real/imag) leading axis is replicated.
+    """
+    has_model = model_axis in mesh.axis_names
+
+    def w_spec(i):
+        if not has_model:
+            return P()
+        # alternate column-parallel / row-parallel
+        return (P(None, None, model_axis) if i % 2 == 0
+                else P(None, model_axis, None))
+
+    def b_spec(i):
+        if not has_model:
+            return P()
+        # biases live on the layer output: sharded for col-parallel
+        return (P(None, model_axis) if i % 2 == 0 else P(None))
+
+    ns = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+    p_sh = {
+        "dense": [
+            {"w": ns(w_spec(i)), "b": ns(b_spec(i))}
+            for i in range(len(params["dense"]))
+        ],
+        "out": {"w": ns(P(None, None, None)), "b": ns(P(None))},
+        "bn": [
+            {"scale": ns(b_spec(i)), "bias": ns(b_spec(i))}
+            for i in range(len(params["bn"]))
+        ],
+    }
+    bn_sh = {
+        "mean": [ns(b_spec(i)) for i in range(len(bn_state["mean"]))],
+        "var": [ns(b_spec(i)) for i in range(len(bn_state["var"]))],
+    }
+    return p_sh, bn_sh
+
+
+def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
+                            data_axis: str = "data",
+                            model_axis: str = "model"):
+    """Build a jitted DP+TP train step over `mesh`.
+
+    Returns (init_fn, step_fn):
+      init_fn(key) -> (params, bn_state, opt_state) placed on the mesh
+      step_fn(params, bn_state, opt_state, x2, pilot, y2, key, lr)
+        -> (params, bn_state, opt_state, loss_per_plane)
+    with x2 (2, B, len) / pilot (B, num_tx) / y2 (2, B, C) sharded on
+    the batch dim over ``data_axis``.
+    """
+    import optax
+
+    from mamimo_tpu.models.mlp import (
+        init_stacked,
+        preprocess_input,
+        stacked_apply,
+    )
+
+    opt = optax.scale_by_adam()
+    batch_sh = NamedSharding(mesh, P(None, data_axis))
+    pilot_sh = NamedSharding(mesh, P(data_axis))
+
+    def init_fn(key):
+        params, bn_state = init_stacked(key, cfg, tcfg)
+        p_sh, bn_sh = param_shardings(mesh, params, bn_state, model_axis)
+        params = jax.tree.map(jax.device_put, params, p_sh)
+        bn_state = jax.tree.map(jax.device_put, bn_state, bn_sh)
+        opt_state = opt.init(params)
+        return params, bn_state, opt_state
+
+    def loss_fn(params, bn_state, x2, pilot, y2, rng):
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, new_bn = stacked_apply(
+            tcfg, params, bn_state, xin, train=True, rng=rng
+        )
+        per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))
+        return jnp.sum(per_dim), (per_dim, new_bn)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step_fn(params, bn_state, opt_state, x2, pilot, y2, key, lr):
+        x2 = jax.lax.with_sharding_constraint(x2, batch_sh)
+        y2 = jax.lax.with_sharding_constraint(y2, batch_sh)
+        pilot = jax.lax.with_sharding_constraint(pilot, pilot_sh)
+        (_, (per_dim, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, bn_state, x2, pilot, y2, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, opt_state, per_dim
+
+    return init_fn, step_fn
