@@ -85,9 +85,11 @@ def _get_baseline(cfg, cache_path: str) -> float:
     return val
 
 
-def make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas: bool = True):
+def make_estimation_fn(cfg, tcfg, params, bn_state,
+                       use_pallas: bool = False):
     """Build the jitted fused estimation step: raw preamble batch ->
-    (LS estimate, DNN estimate)."""
+    (LS estimate, DNN estimate). With use_pallas=True the LS despread
+    and the MLP run through the fused Pallas kernels."""
     import jax
     import jax.numpy as jnp
 
@@ -96,12 +98,22 @@ def make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas: bool = True):
     from mamimo_tpu.pipeline.sounding import estimate_from_rx
 
     P = pilot_p_matrix(cfg.num_tx)
+    if use_pallas:
+        from mamimo_tpu.ops.pallas import ls_estimate_pallas, mlp_infer_pallas
+
+        plane_p = [jax.tree.map(lambda l, d=d: l[d], params)
+                   for d in range(2)]
+        plane_b = [jax.tree.map(lambda l, d=d: l[d], bn_state)
+                   for d in range(2)]
 
     @jax.jit
     def estimate(rx):
         """rx: (B, len_ltf, num_rx) complex64."""
         b = rx.shape[0]
-        h_ls, _ = estimate_from_rx(cfg, rx)
+        if use_pallas:
+            h_ls = ls_estimate_pallas(cfg, rx)
+        else:
+            h_ls, _ = estimate_from_rx(cfg, rx)
         # DNN path: every (tx, rx) pair of every packet
         sig = jnp.transpose(rx, (0, 2, 1))             # (B, R, L)
         sig = jnp.repeat(sig[:, :, None, :], cfg.num_tx, axis=2)
@@ -109,8 +121,13 @@ def make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas: bool = True):
         pil = jnp.tile(P.T, (b * cfg.num_rx, 1))       # (N, Nt)
         xr = preprocess_input(cfg, tcfg, jnp.real(sig), pil)
         xi = preprocess_input(cfg, tcfg, jnp.imag(sig), pil)
-        y2, _ = stacked_apply(tcfg, params, bn_state,
-                              jnp.stack([xr, xi]), train=False)
+        if use_pallas:
+            yr = mlp_infer_pallas(tcfg, plane_p[0], plane_b[0], xr)
+            yi = mlp_infer_pallas(tcfg, plane_p[1], plane_b[1], xi)
+            y2 = jnp.stack([yr, yi])
+        else:
+            y2, _ = stacked_apply(tcfg, params, bn_state,
+                                  jnp.stack([xr, xi]), train=False)
         h_dnn = (y2[0] + 1j * y2[1]).reshape(
             b, cfg.num_rx, cfg.num_tx, cfg.num_carriers
         )
@@ -120,56 +137,79 @@ def make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas: bool = True):
     return estimate
 
 
+def _time_fn(fn, arg, iters):
+    import jax
+
+    jax.block_until_ready(fn(arg))          # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(arg)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def run_bench(batch_packets: int = 64, iters: int = 20,
               profile_dir: str = "", repo_root: str | None = None) -> dict:
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    # persistent compilation cache: remote TPU compiles take minutes
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(root, ".jax_cache"))
+
     import jax
     import jax.numpy as jnp
 
+    # honor JAX_PLATFORMS even though the session's TPU sitecustomize
+    # force-sets jax_platforms post-import
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mamimo_tpu.config import SimConfig, TrainConfig
     from mamimo_tpu.models.mlp import init_stacked
+    from mamimo_tpu.ops.pallas import ls_estimate_pallas
     from mamimo_tpu.pipeline.sounding import estimate_from_rx
 
     cfg = SimConfig()
     tcfg = TrainConfig()
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
     key = jax.random.PRNGKey(0)
     params, bn_state = init_stacked(key, cfg, tcfg)
 
     # synthetic received preambles (content doesn't affect timing)
     z = jax.random.normal(key, (batch_packets, cfg.len_ltf, cfg.num_rx, 2))
     rx = (z[..., 0] + 1j * z[..., 1]).astype(jnp.complex64)
-
-    estimate = make_estimation_fn(cfg, tcfg, params, bn_state)
-    ls_only = jax.jit(lambda r: estimate_from_rx(cfg, r)[0])
-
-    # warmup/compile
-    jax.block_until_ready(estimate(rx))
-    jax.block_until_ready(ls_only(rx))
+    n_est = batch_packets * cfg.num_tx * cfg.num_rx
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = estimate(rx)
-    jax.block_until_ready(out)
-    dt_full = (time.perf_counter() - t0) / iters
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = ls_only(rx)
-    jax.block_until_ready(out)
-    dt_ls = (time.perf_counter() - t0) / iters
+    timings = {}
+    timings["xla_full"] = _time_fn(
+        make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False),
+        rx, iters)
+    timings["ls_xla"] = _time_fn(
+        jax.jit(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
+    if on_tpu:
+        try:
+            timings["pallas_full"] = _time_fn(
+                make_estimation_fn(cfg, tcfg, params, bn_state,
+                                   use_pallas=True), rx, iters)
+            timings["ls_pallas"] = _time_fn(
+                jax.jit(lambda r: ls_estimate_pallas(cfg, r)), rx, iters)
+        except Exception as e:                   # pragma: no cover
+            print(f"[bench] pallas path unavailable: {e}")
 
     if profile_dir:
         jax.profiler.stop_trace()
 
-    n_est = batch_packets * cfg.num_tx * cfg.num_rx
-    est_per_s = n_est / dt_full
-    ls_per_s = n_est / dt_ls
+    full_keys = [k for k in ("pallas_full", "xla_full") if k in timings]
+    best_full = min(full_keys, key=lambda k: timings[k])
+    est_per_s = n_est / timings[best_full]
 
-    root = repo_root or os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))
     baseline = _get_baseline(cfg, os.path.join(root, ".bench_baseline.json"))
 
     result = {
@@ -180,9 +220,12 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
         "extra": {
             "device": str(dev),
             "batch_packets": batch_packets,
-            "ls_only_estimates_per_s": round(ls_per_s, 1),
+            "best_path": best_full,
+            "per_path_estimates_per_s": {
+                k: round(n_est / v, 1) for k, v in timings.items()
+            },
             "baseline_cpu_estimates_per_s": round(baseline, 1),
-            "full_batch_ms": round(dt_full * 1e3, 3),
+            "full_batch_ms": round(timings[best_full] * 1e3, 3),
         },
     }
     print(json.dumps(result))

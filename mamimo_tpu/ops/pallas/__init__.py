@@ -1,0 +1,8 @@
+"""Pallas TPU kernels for the hot ops: fused MLP inference and fused
+OFDM-demod + LS despread."""
+
+from mamimo_tpu.ops.pallas.mlp_infer import (  # noqa: F401
+    fold_bn_into_dense,
+    mlp_infer_pallas,
+)
+from mamimo_tpu.ops.pallas.fused_ls import ls_estimate_pallas  # noqa: F401

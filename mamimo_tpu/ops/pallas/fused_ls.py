@@ -1,0 +1,141 @@
+"""Fused OFDM-demod + LS-despread kernel (Pallas, TPU).
+
+The analytic estimation hot path (generate_maMIMO_LTF.m:336-342) is
+mathematically two complex matmuls per (packet, rx-antenna):
+
+    est[c, j] = (1/(nltf·ltf[c])) Σ_t Σ_n  D[c, t] · x[n, t] · P[j, n]
+
+where D is the 234-row DFT matrix restricted to the used data carriers
+(fftshifted bin selection folded in — the FFT of a 256-sample symbol is
+just a matmul on the MXU at this size) and x[n, t] is LTF symbol n with
+its cyclic prefix dropped. This kernel fuses CP-handling, "FFT",
+carrier selection, LTF normalization and P-despread into a single
+VMEM-resident program per block of (packet, rx) pairs — no HBM
+round-trips for the demodulated grid.
+
+Complex arithmetic is expanded into 4 real matmuls per stage (TPU MXU
+has no complex dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mamimo_tpu.config import SimConfig
+from mamimo_tpu.ops.ltf import ltf_data_carriers, pilot_p_matrix
+
+
+def _dft_selected(cfg: SimConfig):
+    """Scaled selected-DFT matrix A[c, t] = exp(-2πi·b_c·t/N)/(nltf·ltf_c)
+    with b_c the signed bin of data carrier c (fftshift folded in)."""
+    n = cfg.fft_length
+    bins = np.asarray(cfg.carrier_locations, np.float64) - n // 2
+    t = np.arange(n)
+    a = np.exp(-2j * np.pi * bins[:, None] * t[None, :] / n)
+    ltf = np.asarray(ltf_data_carriers(cfg), np.float64)
+    a = a / (cfg.num_tx * ltf)[:, None]
+    return a.astype(np.complex64)              # (C, N)
+
+
+def _kernel(xr_ref, xi_ref, p_ref, ar_ref, ai_ref, or_ref, oi_ref,
+            *, nsym: int, g: int, nfft: int, cp: int):
+    # x: (g, nsym, sym_len) real/imag planes
+    xr = xr_ref[:, :, cp:]                       # (g, nsym, nfft)
+    xi = xi_ref[:, :, cp:]
+    # despread over symbols first: Y[g, j, t] = Σ_n P[j, n]·x[g, n, t]
+    # flatten (g, t) into the matmul N dimension:
+    xr2 = xr.transpose(1, 0, 2).reshape(nsym, g * nfft)
+    xi2 = xi.transpose(1, 0, 2).reshape(nsym, g * nfft)
+    p = p_ref[:]                                 # (nsym, nsym) ±1
+    yr = jnp.dot(p, xr2, preferred_element_type=jnp.float32)
+    yi = jnp.dot(p, xi2, preferred_element_type=jnp.float32)
+    # rearrange to (nfft, g·nsym) for the DFT-select contraction over t
+    zr = yr.reshape(nsym, g, nfft).transpose(2, 1, 0).reshape(nfft, g * nsym)
+    zi = yi.reshape(nsym, g, nfft).transpose(2, 1, 0).reshape(nfft, g * nsym)
+    ar = ar_ref[:]                               # (C, nfft)
+    ai = ai_ref[:]
+    er = (jnp.dot(ar, zr, preferred_element_type=jnp.float32)
+          - jnp.dot(ai, zi, preferred_element_type=jnp.float32))
+    ei = (jnp.dot(ar, zi, preferred_element_type=jnp.float32)
+          + jnp.dot(ai, zr, preferred_element_type=jnp.float32))
+    c = ar.shape[0]
+    or_ref[:] = er.reshape(c, g, nsym).transpose(1, 0, 2)
+    oi_ref[:] = ei.reshape(c, g, nsym).transpose(1, 0, 2)
+
+
+def ls_estimate_pallas(
+    cfg: SimConfig,
+    rx,
+    *,
+    pairs_per_block: int = 8,
+    interpret: bool | None = None,
+):
+    """LS channel estimation from raw preambles, fused.
+
+    Args:
+      rx: (B, len_ltf, num_rx) complex64 received preambles.
+
+    Returns:
+      (B, num_carriers, num_tx, num_rx) complex64 — identical (to fp
+      tolerance) to estimate_from_rx(cfg, rx)[0].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, _, nrx = rx.shape
+    nsym = cfg.num_tx
+    g = pairs_per_block
+    npairs = b * nrx
+    npad = ((npairs + g - 1) // g) * g
+
+    # (pairs, nsym, sym_len) planes, pair index = b*nrx + r
+    x = jnp.transpose(rx, (0, 2, 1)).reshape(npairs, nsym, cfg.sym_len)
+    xr = jnp.zeros((npad, nsym, cfg.sym_len), jnp.float32
+                   ).at[:npairs].set(jnp.real(x))
+    xi = jnp.zeros((npad, nsym, cfg.sym_len), jnp.float32
+                   ).at[:npairs].set(jnp.imag(x))
+
+    a = _dft_selected(cfg)
+    ar = jnp.asarray(np.real(a))
+    ai = jnp.asarray(np.imag(a))
+    p = pilot_p_matrix(nsym)
+    c = cfg.num_carriers
+
+    kern = functools.partial(_kernel, nsym=nsym, g=g,
+                             nfft=cfg.fft_length, cp=cfg.cp_length)
+    grid = (npad // g,)
+    out_shape = [jax.ShapeDtypeStruct((npad, c, nsym), jnp.float32)] * 2
+    or_, oi_ = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, nsym, cfg.sym_len), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, nsym, cfg.sym_len), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsym, nsym), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cfg.fft_length), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cfg.fft_length), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, c, nsym), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, c, nsym), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xr, xi, p, ar, ai)
+
+    est = (or_[:npairs] + 1j * oi_[:npairs]).astype(jnp.complex64)
+    # (pairs, C, nsym) -> (B, C, num_tx, num_rx)
+    est = est.reshape(b, nrx, c, nsym)
+    return jnp.transpose(est, (0, 2, 3, 1))
