@@ -97,10 +97,12 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
     from mamimo_tpu.ops.ltf import pilot_p_matrix
     from mamimo_tpu.pipeline.sounding import estimate_from_rx
 
-    P = pilot_p_matrix(cfg.num_tx)
+    from mamimo_tpu.models.mlp import predict_all_pairs
+
     if use_pallas:
         from mamimo_tpu.ops.pallas import ls_estimate_pallas, mlp_infer_pallas
 
+        P = pilot_p_matrix(cfg.num_tx)
         plane_p = [jax.tree.map(lambda l, d=d: l[d], params)
                    for d in range(2)]
         plane_b = [jax.tree.map(lambda l, d=d: l[d], bn_state)
@@ -112,26 +114,28 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
         b = rx.shape[0]
         if use_pallas:
             h_ls = ls_estimate_pallas(cfg, rx)
-        else:
-            h_ls, _ = estimate_from_rx(cfg, rx)
-        # DNN path: every (tx, rx) pair of every packet
-        sig = jnp.transpose(rx, (0, 2, 1))             # (B, R, L)
-        sig = jnp.repeat(sig[:, :, None, :], cfg.num_tx, axis=2)
-        sig = sig.reshape(b * cfg.num_rx * cfg.num_tx, cfg.len_ltf)
-        pil = jnp.tile(P.T, (b * cfg.num_rx, 1))       # (N, Nt)
-        xr = preprocess_input(cfg, tcfg, jnp.real(sig), pil)
-        xi = preprocess_input(cfg, tcfg, jnp.imag(sig), pil)
-        if use_pallas:
+            # materialized-input DNN path through the fused MLP kernel
+            sig = jnp.transpose(rx, (0, 2, 1))         # (B, R, L)
+            sig = jnp.broadcast_to(
+                sig[:, :, None, :],
+                (b, cfg.num_rx, cfg.num_tx, cfg.len_ltf),
+            ).reshape(b * cfg.num_rx * cfg.num_tx, cfg.len_ltf)
+            pil = jnp.broadcast_to(
+                P.T[None], (b * cfg.num_rx, cfg.num_tx, cfg.num_tx)
+            ).reshape(-1, cfg.num_tx)
+            xr = preprocess_input(cfg, tcfg, jnp.real(sig), pil)
+            xi = preprocess_input(cfg, tcfg, jnp.imag(sig), pil)
             yr = mlp_infer_pallas(tcfg, plane_p[0], plane_b[0], xr)
             yi = mlp_infer_pallas(tcfg, plane_p[1], plane_b[1], xi)
-            y2 = jnp.stack([yr, yi])
+            h_dnn = (yr + 1j * yi).reshape(
+                b, cfg.num_rx, cfg.num_tx, cfg.num_carriers
+            )
+            h_dnn = jnp.transpose(h_dnn, (0, 3, 2, 1))
         else:
-            y2, _ = stacked_apply(tcfg, params, bn_state,
-                                  jnp.stack([xr, xi]), train=False)
-        h_dnn = (y2[0] + 1j * y2[1]).reshape(
-            b, cfg.num_rx, cfg.num_tx, cfg.num_carriers
-        )
-        h_dnn = jnp.transpose(h_dnn, (0, 3, 2, 1))
+            h_ls, _ = estimate_from_rx(cfg, rx)
+            # factored all-pairs inference (layer-1 signal matmul shared
+            # across the num_tx pilot columns)
+            h_dnn = predict_all_pairs(cfg, tcfg, params, bn_state, rx)
         return h_ls, h_dnn
 
     return estimate

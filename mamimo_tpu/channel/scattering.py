@@ -55,6 +55,28 @@ def ula_positions(n: int, spacing: float) -> np.ndarray:
     return pos
 
 
+def ura_positions(n: int, ncols: int, spacing: float) -> np.ndarray:
+    """n-element uniform rectangular array in the y-z plane
+    ([n/ncols × ncols] grid, phased.URA([expFactor numSTS]) layout,
+    helperApplyMUChannel.m:53-55). Returns (3, n) float32 metres."""
+    nrows = n // ncols
+    assert nrows * ncols == n
+    y = (np.arange(ncols) - (ncols - 1) / 2.0) * spacing
+    z = (np.arange(nrows) - (nrows - 1) / 2.0) * spacing
+    pos = np.zeros((3, n), np.float32)
+    yy, zz = np.meshgrid(y, z)
+    pos[1] = yy.reshape(-1)
+    pos[2] = zz.reshape(-1)
+    return pos
+
+
+def array_positions(n: int, geometry: str, spacing: float,
+                    ncols: int = 1) -> np.ndarray:
+    if geometry == "ura":
+        return ura_positions(n, max(ncols, 1), spacing)
+    return ula_positions(n, spacing)
+
+
 def steering_vectors(elem_pos_wavelengths, az_deg, el_deg):
     """MATLAB ``steervec(pos, [az; el])`` equivalent.
 
@@ -109,8 +131,10 @@ def make_scenario(cfg: SimConfig, key) -> Scenario:
          jnp.sin(elr)]
     )
     sp_loss = fspl_db(rng, cfg.lam)
-    tx_elem = jnp.asarray(ula_positions(cfg.num_tx, 0.5 * cfg.lam))
-    rx_elem = jnp.asarray(ula_positions(cfg.num_rx, 0.5 * cfg.lam))
+    tx_elem = jnp.asarray(array_positions(
+        cfg.num_tx, cfg.tx_geometry, 0.5 * cfg.lam, cfg.num_sts))
+    rx_elem = jnp.asarray(array_positions(
+        cfg.num_rx, cfg.rx_geometry, 0.5 * cfg.lam, cfg.num_sts))
     return Scenario(rng, az, el, rx_pos, sp_loss, tx_elem, rx_elem)
 
 

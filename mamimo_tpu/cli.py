@@ -84,7 +84,8 @@ def cmd_train(args) -> None:
     ds = CSIDataset.load(args.dataset)
     tcfg = _train_cfg(args)
     val_ds = CSIDataset.load(args.val) if args.val else None
-    res = fit(ds.cfg, tcfg, ds, val_ds=val_ds, workdir=args.workdir)
+    res = fit(ds.cfg, tcfg, ds, val_ds=val_ds, workdir=args.workdir,
+              resume=args.resume)
     print(f"[train] done: {res.epochs_ran} epochs, "
           f"best val = {res.best_val.tolist()} -> {args.workdir}")
 
@@ -115,6 +116,32 @@ def cmd_test(args) -> None:
     if args.export_mat:
         export_predictions_mat(args.workdir, pred, ds.rx, ds.h_ls,
                                ds.pilot_matrix())
+    if args.plots:
+        from mamimo_tpu.eval.plots import plot_mimo_channel, plot_predictions
+
+        plot_predictions(args.workdir, pred, ds.h_ls)
+        plot_mimo_channel(os.path.join(args.workdir, "channel_dnn.png"),
+                          pred[0])
+        plot_mimo_channel(os.path.join(args.workdir, "channel_ls.png"),
+                          ds.h_ls[0])
+    if args.exec_time:
+        # inference timing + profiler traces (the --execTime harness,
+        # massiveMIMO_CSI_prediction_DNN.py:441-475)
+        import jax.numpy as jnp
+
+        from mamimo_tpu.models.mlp import predict_all_pairs
+        from mamimo_tpu.utils.profiling import time_inference
+
+        rx1 = jnp.asarray(ds.rx[:1])
+        fn = jax.jit(lambda r: predict_all_pairs(
+            ds.cfg, ck["tcfg"], ck["params"], ck["bn_state"], r))
+        stats = time_inference(
+            fn, (rx1,), iters=10,
+            logdir=os.path.join(args.workdir, "logs_inf"))
+        n_est = ds.cfg.num_tx * ds.cfg.num_rx
+        print(f"[test] inference: {stats['seconds_per_call']*1e3:.3f} ms "
+              f"per packet ({n_est/stats['seconds_per_call']:.0f} "
+              f"estimates/s); trace in logs_inf/")
     with open(os.path.join(args.workdir, "test_report.json"), "w") as f:
         json.dump({k: float(np.mean(v)) for k, v in nm.items()}, f)
 
@@ -227,6 +254,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("-y", "--val", default="")
     t.add_argument("-d", "--workdir", required=True)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--resume", action="store_true",
+                   help="continue from <workdir>/last checkpoint")
     _add_train_args(t)
     t.set_defaults(fn=cmd_train)
 
@@ -238,6 +267,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--export-mat", action="store_true",
                    help="write reference-format prediction .mat files")
     e.add_argument("--test-drop-input", action="store_true")
+    e.add_argument("--plots", action="store_true",
+                   help="prediction-vs-truth PNGs + channel images")
+    e.add_argument("--exec-time", action="store_true",
+                   help="profiled inference timing (--execTime equiv)")
     e.set_defaults(fn=cmd_test)
 
     s = sub.add_parser("sweep", help="metrics vs SNR")

@@ -50,6 +50,11 @@ class SimConfig:
     scat_radius_frac: float = 0.1  # scatterer box half-size = frac * range
     c_light: float = 299792458.0
 
+    # --- array geometry (helperArrayInfo behaviour: ULA for the
+    #     single-stream configs, URA [n/num_sts × num_sts] otherwise) ---
+    tx_geometry: str = "ula"      # 'ula' | 'ura'
+    rx_geometry: str = "ula"
+
     # --- OFDM grid (generate_maMIMO_LTF.m:96-102) ---
     fft_length: int = 256
     cp_length: int = 64

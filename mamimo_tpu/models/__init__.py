@@ -6,6 +6,7 @@ from mamimo_tpu.models.mlp import (  # noqa: F401
     csi_mlp_apply,
     stacked_apply,
     predict_complex,
+    predict_all_pairs,
     model_input_spec,
 )
 from mamimo_tpu.models.predictor import CSIPredictor  # noqa: F401

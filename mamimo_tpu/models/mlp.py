@@ -170,6 +170,66 @@ def stacked_apply(tcfg, params, bn_state, x2, *, train=False, rng=None):
     return jax.vmap(one)(params, bn_state, x2, rngs)
 
 
+def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
+                      rx):
+    """Batch inference over ALL (tx, rx) pairs of received preambles —
+    the test/deployment case (batch = nTX·nRX,
+    massiveMIMO_CSI_prediction_DNN.py:337-339) — with the first layer
+    factored:
+
+        h1[s, t] = relu(sig[s] @ W1_sig + P[:,t] @ W1_pil + b1)
+
+    The received signal is shared by all num_tx pilot columns, so the
+    dominant (len_ltf × H) matmul runs once per (packet, rx-antenna)
+    instead of num_tx times — an exact ~num_tx-fold FLOP reduction of
+    layer 1 vs materializing the concatenated inputs. (Also avoids the
+    repeat/concat expansion entirely.)
+
+    Requires default input options (no fraction/decimation) and eval
+    mode.
+
+    Args:
+      rx: (B, len_ltf, num_rx) complex64.
+
+    Returns:
+      (B, num_carriers, num_tx, num_rx) complex64 DNN CSI.
+    """
+    from mamimo_tpu.ops.ltf import pilot_p_matrix
+
+    assert tcfg.in_fraction == 1 and tcfg.decimate == "none", (
+        "factored inference requires the default input pipeline"
+    )
+    b, L, nrx = rx.shape
+    ntx = cfg.num_tx
+    P = pilot_p_matrix(ntx)                      # (ntx, ntx)
+    sig2 = jnp.transpose(rx, (0, 2, 1)).reshape(b * nrx, L)
+    planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])   # (2, S, L)
+
+    def one(pp, bb, x):
+        w1 = pp["dense"][0]["w"]
+        sig_proj = x @ w1[:L]                    # (S, H) — the big matmul
+        pil_proj = P.T @ w1[L:]                  # (ntx, H)
+        h = sig_proj[:, None, :] + pil_proj[None, :, :] \
+            + pp["dense"][0]["b"]
+        h = jax.nn.relu(h)
+        if pp["bn"]:
+            inv = jax.lax.rsqrt(bb["var"][0] + tcfg.bn_eps)
+            h = (h - bb["mean"][0]) * inv
+            h = h * pp["bn"][0]["scale"] + pp["bn"][0]["bias"]
+        for i in range(1, len(pp["dense"])):
+            h = jax.nn.relu(h @ pp["dense"][i]["w"] + pp["dense"][i]["b"])
+            if pp["bn"]:
+                inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
+                h = (h - bb["mean"][i]) * inv
+                h = h * pp["bn"][i]["scale"] + pp["bn"][i]["bias"]
+        return h @ pp["out"]["w"] + pp["out"]["b"]   # (S, ntx, C)
+
+    y2 = jax.vmap(one)(params, bn_state, planes)     # (2, S, ntx, C)
+    y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
+    y = y.reshape(b, nrx, ntx, cfg.num_carriers)
+    return jnp.transpose(y, (0, 3, 2, 1))
+
+
 def predict_complex(cfg, tcfg, params, bn_state, sig, pilot):
     """Deployment-style complex prediction (inference.py:24-32): run the
     real plane through model[0] and the imaginary plane through model[1],

@@ -137,8 +137,14 @@ def fit(
     val_ds: Optional[CSIDataset] = None,
     workdir: Optional[str] = None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> TrainResult:
-    """Train the stacked real/imag CSI MLP. Returns best-restored params."""
+    """Train the stacked real/imag CSI MLP. Returns best-restored params.
+
+    With resume=True and an existing ``<workdir>/last`` checkpoint,
+    training continues from the saved epoch/optimizer state — mid-run
+    resume, which the reference lacks entirely (SURVEY.md §5).
+    """
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
 
@@ -162,6 +168,24 @@ def fit(
     opt = optax.scale_by_adam()
     opt_state = opt.init(params)
 
+    start_epoch = 0
+    resumed_extra = {}
+    if resume and workdir is not None and os.path.exists(
+        os.path.join(workdir, "last.json")
+    ):
+        from mamimo_tpu.train.ckpt import load_checkpoint
+
+        ck = load_checkpoint(os.path.join(workdir, "last"),
+                             like_opt_state=opt_state)
+        params = jax.tree.map(jnp.asarray, ck["params"])
+        bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+        if "opt_state" in ck:
+            opt_state = jax.tree.map(jnp.asarray, ck["opt_state"])
+        resumed_extra = ck.get("extra", {})
+        start_epoch = int(resumed_extra.get("epoch", 0))
+        if verbose:
+            print(f"[fit] resuming from epoch {start_epoch}")
+
     train_step, eval_step = make_train_step(cfg, tcfg, data, avg_sig_pow, opt)
     _, val_eval_step = make_train_step(cfg, tcfg, val_data, avg_sig_pow, opt)
 
@@ -169,9 +193,10 @@ def fit(
     steps_per_epoch = max(1, len(train_idx) // bs)
     val_steps = max(1, len(val_idx) // bs)
 
-    lr = tcfg.lr
     min_lr = tcfg.lr * tcfg.min_lr_factor
-    best_val = np.asarray([np.inf, np.inf])
+    best_val = np.asarray(resumed_extra.get("best_val", [np.inf, np.inf]),
+                          np.float64)
+    lr = float(resumed_extra.get("lr", tcfg.lr))
     best_params = params
     best_bn = bn_state
     since_best = np.asarray([0, 0])
@@ -182,7 +207,7 @@ def fit(
     rng_host = np.random.default_rng(tcfg.seed)
     epochs_ran = 0
 
-    for epoch in range(tcfg.epochs):
+    for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
         perm = rng_host.permutation(len(train_idx))
         ep_loss = np.zeros(2)

@@ -1,0 +1,107 @@
+"""Aux subsystem tests: resume, profiling, plots, URA geometry,
+datasource registry, predictor wrapper."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamimo_tpu.config import SimConfig, TrainConfig
+from mamimo_tpu.channel.scattering import array_positions, ura_positions
+from mamimo_tpu.data.sources import get_datasource
+from mamimo_tpu.pipeline.dataset import generate_dataset
+from mamimo_tpu.train.loop import fit
+from mamimo_tpu.utils.profiling import StepsPerSecond, time_inference
+
+TINY = SimConfig(num_tx=4, num_rx=2, n_scatterers=10)
+TTC = TrainConfig(hidden=(32, 32), batch_size=16, epochs=2,
+                  early_stop_patience=50, seed=1)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return generate_dataset(TINY, seed=0, num_packets=10, snr_db=120.0,
+                            chunk=5, fft_size=4096)
+
+
+def test_resume_continues(tiny_ds, tmp_path):
+    wd = str(tmp_path)
+    r1 = fit(TINY, TTC, tiny_ds, workdir=wd, verbose=False)
+    assert r1.epochs_ran == 2
+    # resume with a larger epoch budget continues from epoch 2
+    r2 = fit(TINY, TTC.replace(epochs=4), tiny_ds, workdir=wd,
+             verbose=False, resume=True)
+    assert r2.epochs_ran == 4
+    assert len(r2.history["loss_real"]) == 2   # only the new epochs
+
+
+def test_ura_positions():
+    p = ura_positions(8, 2, 0.5)
+    assert p.shape == (3, 8)
+    assert np.all(p[0] == 0)              # y-z plane
+    assert len(np.unique(p[1])) == 2      # 2 columns
+    assert len(np.unique(p[2])) == 4      # 4 rows
+    p2 = array_positions(8, "ula", 0.5)
+    assert np.all(p2[2] == 0)
+
+
+def test_ura_scenario_pipeline():
+    cfg = SimConfig(num_tx=8, num_rx=2, n_scatterers=8,
+                    tx_geometry="ura", num_sts=2)
+    ds = generate_dataset(cfg, seed=1, num_packets=2, snr_db=0.0,
+                          chunk=2, fft_size=4096)
+    assert np.all(np.isfinite(ds.h_ls.view(np.float32)))
+
+
+def test_profiling_helpers():
+    f = jax.jit(lambda x: x * 2.0)
+    stats = time_inference(f, (jnp.ones((8, 8)),), iters=3)
+    assert stats["seconds_per_call"] > 0
+    c = StepsPerSecond()
+    c.step(5)
+    assert c.rate() > 0
+
+
+def test_plots(tiny_ds, tmp_path):
+    from mamimo_tpu.eval.plots import plot_mimo_channel, plot_predictions
+
+    plot_predictions(str(tmp_path), tiny_ds.h_ls[:1], tiny_ds.h_perfect[:1],
+                     n_pics=2)
+    assert os.path.exists(os.path.join(str(tmp_path), "0_real_bluePred.png"))
+    plot_mimo_channel(os.path.join(str(tmp_path), "chan.png"),
+                      tiny_ds.h_ls[0])
+    assert os.path.exists(os.path.join(str(tmp_path), "chan.png"))
+
+
+def test_datasource_registry(tiny_ds, tmp_path):
+    # native npz roundtrip through the registry
+    path = os.path.join(str(tmp_path), "ds.npz")
+    tiny_ds.save(path)
+    d = get_datasource("mamimo_npz")(path)
+    np.testing.assert_array_equal(d["rx"], tiny_ds.rx)
+    with pytest.raises(KeyError):
+        get_datasource("nope")
+    # pickle path through matlab_maMimo loader
+    from mamimo_tpu.data.matlab_io import save_pickle_dataset
+
+    pkl = os.path.join(str(tmp_path), "ds.b")
+    save_pickle_dataset(tiny_ds.rx, tiny_ds.h_ls, tiny_ds.pilot_matrix(),
+                        d["sim_params"], pkl, seed=0)
+    d2 = get_datasource("matlab_maMimo")(pkl)
+    np.testing.assert_allclose(d2["rx"], tiny_ds.rx, atol=1e-6)
+    np.testing.assert_allclose(d2["h_ls"], tiny_ds.h_ls, atol=1e-6)
+
+
+def test_csi_predictor_wrapper(tiny_ds, tmp_path):
+    from mamimo_tpu.models.predictor import CSIPredictor
+
+    wd = str(tmp_path / "model")
+    fit(TINY, TTC, tiny_ds, workdir=wd, verbose=False)
+    pred = CSIPredictor(wd)
+    P = tiny_ds.pilot_matrix()
+    out = pred.inference(tiny_ds.rx[:1, :, 0], P[:, :1].T)
+    assert out.shape == (1, TINY.num_carriers)
+    assert out.dtype == np.complex64
