@@ -128,6 +128,13 @@ class CSIDataset:
             **scen,
         )
 
+    def save_raw(self, path: str) -> None:
+        """Write the mmap-friendly raw container consumed by the native
+        C++ streaming loader (data/native_loader.py)."""
+        from mamimo_tpu.data.native_loader import write_raw
+
+        write_raw(path, self.rx, self.h_ls)
+
     @classmethod
     def load(cls, path: str) -> "CSIDataset":
         z = np.load(path)

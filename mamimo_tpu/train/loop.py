@@ -85,6 +85,48 @@ def _split_indices(ds: CSIDataset, tcfg: TrainConfig):
     return all_idx[:n_train], all_idx[n_train:]
 
 
+def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
+                          opt):
+    """Train/eval steps taking materialized (x2, pilot, y2) batches —
+    the host-streaming path fed by the native C++ loader."""
+    levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
+
+    def loss_fn(params, bn_state, x2, pilot, y2, rng):
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, new_bn = stacked_apply(
+            tcfg, params, bn_state, xin, train=True, rng=rng
+        )
+        per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))
+        return jnp.sum(per_dim), (per_dim, new_bn)
+
+    @jax.jit
+    def train_step(params, bn_state, opt_state, x2, pilot, y2, key, lr):
+        if tcfg.method == "default_snr":
+            k_snr, k_noise, k_drop = jax.random.split(key, 3)
+            lev = levels[jax.random.randint(k_snr, (2,), 0, len(levels))]
+            npow = avg_sig_pow / (10.0 ** (lev / 10.0))
+            std = jnp.sqrt(npow) / jnp.sqrt(2.0)
+            noise = jax.random.normal(k_noise, x2.shape)
+            x2 = x2 + noise * std[:, None, None]
+        else:
+            k_drop = key
+        (loss, (per_dim, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, bn_state, x2, pilot, y2, k_drop)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, opt_state, per_dim
+
+    @jax.jit
+    def eval_step(params, bn_state, x2, pilot, y2):
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
+        return jnp.mean((pred - y2) ** 2, axis=(1, 2))
+
+    return train_step, eval_step
+
+
 def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
                     opt):
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
@@ -138,6 +180,7 @@ def fit(
     workdir: Optional[str] = None,
     verbose: bool = True,
     resume: bool = False,
+    host_stream: bool = False,
 ) -> TrainResult:
     """Train the stacked real/imag CSI MLP. Returns best-restored params.
 
@@ -148,14 +191,44 @@ def fit(
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
 
-    data = _device_data(train_ds)
-    if val_ds is not None:
-        val_data = _device_data(val_ds)
-        train_idx = np.arange(train_ds.num_samples)
-        val_idx = np.arange(val_ds.num_samples)
+    if host_stream:
+        # larger-than-HBM path: mmap'd raw container + native C++ gather
+        import tempfile
+
+        from mamimo_tpu.data.native_loader import NativeBatchLoader
+
+        raw_dir = workdir or tempfile.mkdtemp(prefix="mamimo_raw_")
+        os.makedirs(raw_dir, exist_ok=True)
+        raw_path = os.path.join(raw_dir, "train.raw")
+        if not os.path.exists(raw_path):
+            train_ds.save_raw(raw_path)
+        loader = NativeBatchLoader(raw_path)
+        if verbose:
+            print(f"[fit] host-streaming batches via "
+                  f"{'native C++' if loader.using_native else 'numpy'} "
+                  f"loader: {raw_path}")
+        data = None
+        val_data = None
+        P_host = train_ds.pilot_matrix().T            # (T, num_tx) rows
+        if val_ds is not None:
+            vraw = os.path.join(raw_dir, "val.raw")
+            if not os.path.exists(vraw):
+                val_ds.save_raw(vraw)
+            val_loader = NativeBatchLoader(vraw)
+            train_idx = np.arange(train_ds.num_samples)
+            val_idx = np.arange(val_ds.num_samples)
+        else:
+            val_loader = loader
+            train_idx, val_idx = _split_indices(train_ds, tcfg)
     else:
-        val_data = data
-        train_idx, val_idx = _split_indices(train_ds, tcfg)
+        data = _device_data(train_ds)
+        if val_ds is not None:
+            val_data = _device_data(val_ds)
+            train_idx = np.arange(train_ds.num_samples)
+            val_idx = np.arange(val_ds.num_samples)
+        else:
+            val_data = data
+            train_idx, val_idx = _split_indices(train_ds, tcfg)
 
     # average real-plane signal power over the training inputs
     # (generalizes the first-batch estimate of
@@ -186,8 +259,38 @@ def fit(
         if verbose:
             print(f"[fit] resuming from epoch {start_epoch}")
 
-    train_step, eval_step = make_train_step(cfg, tcfg, data, avg_sig_pow, opt)
-    _, val_eval_step = make_train_step(cfg, tcfg, val_data, avg_sig_pow, opt)
+    if host_stream:
+        arr_train_step, arr_eval_step = make_array_train_step(
+            cfg, tcfg, avg_sig_pow, opt)
+
+        def _batch_arrays(ld, idx_np):
+            sig, y = ld.gather(idx_np)
+            t = (idx_np % cfg.num_tx).astype(np.int64)
+            pilot = P_host[t]
+            return (jnp.asarray(sig.transpose(1, 0, 2)),
+                    jnp.asarray(pilot),
+                    jnp.asarray(y.transpose(1, 0, 2)))
+
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
+            x2, pilot, y2 = _batch_arrays(loader, idx_np)
+            return arr_train_step(params, bn_state, opt_state, x2, pilot,
+                                  y2, kstep, lr)
+
+        def run_val(params, bn_state, idx_np):
+            x2, pilot, y2 = _batch_arrays(val_loader, idx_np)
+            return arr_eval_step(params, bn_state, x2, pilot, y2)
+    else:
+        train_step, eval_step = make_train_step(
+            cfg, tcfg, data, avg_sig_pow, opt)
+        _, val_eval_step = make_train_step(
+            cfg, tcfg, val_data, avg_sig_pow, opt)
+
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
+            return train_step(params, bn_state, opt_state,
+                              jnp.asarray(idx_np), kstep, lr)
+
+        def run_val(params, bn_state, idx_np):
+            return val_eval_step(params, bn_state, jnp.asarray(idx_np))
 
     bs = tcfg.batch_size
     steps_per_epoch = max(1, len(train_idx) // bs)
@@ -212,9 +315,9 @@ def fit(
         perm = rng_host.permutation(len(train_idx))
         ep_loss = np.zeros(2)
         for s in range(steps_per_epoch):
-            idx = jnp.asarray(train_idx[perm[s * bs:(s + 1) * bs]])
+            idx = train_idx[perm[s * bs:(s + 1) * bs]]
             kstep = jax.random.fold_in(k_train, epoch * steps_per_epoch + s)
-            params, bn_state, opt_state, per_dim = train_step(
+            params, bn_state, opt_state, per_dim = run_train(
                 params, bn_state, opt_state, idx, kstep, lr
             )
             ep_loss += np.asarray(per_dim)
@@ -222,8 +325,8 @@ def fit(
 
         val_loss = np.zeros(2)
         for s in range(val_steps):
-            idx = jnp.asarray(val_idx[s * bs:(s + 1) * bs])
-            val_loss += np.asarray(val_eval_step(params, bn_state, idx))
+            idx = val_idx[s * bs:(s + 1) * bs]
+            val_loss += np.asarray(run_val(params, bn_state, idx))
         val_loss /= val_steps
 
         history["loss_real"].append(float(ep_loss[0]))
