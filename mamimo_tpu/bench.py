@@ -103,13 +103,13 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
         from mamimo_tpu.ops.pallas import ls_estimate_pallas, mlp_infer_pallas
 
         P = pilot_p_matrix(cfg.num_tx)
-        plane_p = [jax.tree.map(lambda l, d=d: l[d], params)
-                   for d in range(2)]
-        plane_b = [jax.tree.map(lambda l, d=d: l[d], bn_state)
-                   for d in range(2)]
 
+    # NOTE: params/bn_state are jit *arguments*, never closure constants —
+    # the axon TPU backend fails to compile programs that combine complex
+    # inputs with large embedded weight literals, and argument-passing is
+    # the right design anyway (no giant constants in the executable).
     @jax.jit
-    def estimate(rx):
+    def _estimate(p, bn, rx):
         """rx: (B, len_ltf, num_rx) complex64."""
         b = rx.shape[0]
         if use_pallas:
@@ -125,8 +125,10 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
             ).reshape(-1, cfg.num_tx)
             xr = preprocess_input(cfg, tcfg, jnp.real(sig), pil)
             xi = preprocess_input(cfg, tcfg, jnp.imag(sig), pil)
-            yr = mlp_infer_pallas(tcfg, plane_p[0], plane_b[0], xr)
-            yi = mlp_infer_pallas(tcfg, plane_p[1], plane_b[1], xi)
+            pp = [jax.tree.map(lambda l, d=d: l[d], p) for d in range(2)]
+            bb = [jax.tree.map(lambda l, d=d: l[d], bn) for d in range(2)]
+            yr = mlp_infer_pallas(tcfg, pp[0], bb[0], xr)
+            yi = mlp_infer_pallas(tcfg, pp[1], bb[1], xi)
             h_dnn = (yr + 1j * yi).reshape(
                 b, cfg.num_rx, cfg.num_tx, cfg.num_carriers
             )
@@ -135,20 +137,36 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
             h_ls, _ = estimate_from_rx(cfg, rx)
             # factored all-pairs inference (layer-1 signal matmul shared
             # across the num_tx pilot columns)
-            h_dnn = predict_all_pairs(cfg, tcfg, params, bn_state, rx)
+            h_dnn = predict_all_pairs(cfg, tcfg, p, bn, rx)
         return h_ls, h_dnn
 
-    return estimate
+    return lambda rx: _estimate(params, bn_state, rx)
 
 
 def _time_fn(fn, arg, iters):
+    """Time with a data-dependency chain: each call's input is perturbed
+    by the previous call's output. This defeats result caching and
+    premature-completion acknowledgements in remote/async runtimes
+    (independent identical calls measured 1 EFLOP/s on the tunneled TPU
+    — off by >10x from hardware peak)."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(arg))          # warmup/compile
+    @jax.jit
+    def _chain(rx, out):
+        # scalar dependency on the outputs; keeps rx statistically intact
+        leaves = jax.tree.leaves(out)
+        s = sum(jnp.real(jnp.ravel(l)[0]) for l in leaves)
+        return rx + (1e-30 * s).astype(rx.dtype)
+
+    out = fn(arg)                            # warmup/compile
+    arg = _chain(arg, out)
+    jax.block_until_ready(arg)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(arg)
-    jax.block_until_ready(out)
+        arg = _chain(arg, out)
+    jax.block_until_ready(arg)
     return (time.perf_counter() - t0) / iters
 
 
@@ -214,6 +232,17 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     best_full = min(full_keys, key=lambda k: timings[k])
     est_per_s = n_est / timings[best_full]
 
+    # achieved-FLOPs sanity (factored DNN path + LS), reported so an
+    # implausible number is visible immediately
+    s_cnt = batch_packets * cfg.num_rx
+    h1, h2 = tcfg.hidden
+    dnn_flops = 2 * 2.0 * (
+        s_cnt * cfg.len_ltf * h1
+        + n_est * h1 * h2
+        + n_est * h2 * cfg.num_carriers
+    )
+    achieved_tflops = dnn_flops / timings[best_full] / 1e12
+
     baseline = _get_baseline(cfg, os.path.join(root, ".bench_baseline.json"))
 
     result = {
@@ -230,6 +259,7 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             },
             "baseline_cpu_estimates_per_s": round(baseline, 1),
             "full_batch_ms": round(timings[best_full] * 1e3, 3),
+            "achieved_tflops_dnn_path": round(achieved_tflops, 2),
         },
     }
     print(json.dumps(result))

@@ -28,17 +28,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mamimo_tpu.config import SimConfig
-from mamimo_tpu.ops.ltf import ltf_data_carriers, pilot_p_matrix
+from mamimo_tpu.ops.ltf import _hadamard_np, _ltf_np
 
 
 def _dft_selected(cfg: SimConfig):
     """Scaled selected-DFT matrix A[c, t] = exp(-2πi·b_c·t/N)/(nltf·ltf_c)
-    with b_c the signed bin of data carrier c (fftshift folded in)."""
+    with b_c the signed bin of data carrier c (fftshift folded in).
+
+    Pure NumPy on purpose: this runs at trace time and must stay a
+    compile-time constant (jnp constants created inside jit are tracers
+    in current JAX).
+    """
     n = cfg.fft_length
     bins = np.asarray(cfg.carrier_locations, np.float64) - n // 2
     t = np.arange(n)
     a = np.exp(-2j * np.pi * bins[:, None] * t[None, :] / n)
-    ltf = np.asarray(ltf_data_carriers(cfg), np.float64)
+    ltf = _ltf_np(n)[np.asarray(cfg.carrier_locations)].astype(np.float64)
     a = a / (cfg.num_tx * ltf)[:, None]
     return a.astype(np.complex64)              # (C, N)
 
@@ -103,7 +108,7 @@ def ls_estimate_pallas(
     a = _dft_selected(cfg)
     ar = jnp.asarray(np.real(a))
     ai = jnp.asarray(np.imag(a))
-    p = pilot_p_matrix(nsym)
+    p = jnp.asarray(_hadamard_np(nsym))
     c = cfg.num_carriers
 
     kern = functools.partial(_kernel, nsym=nsym, g=g,

@@ -155,3 +155,106 @@ def run_data_transmission(
     evm = evm_rms(rx_syms, qpsk_constellation())
     bf_gain = jnp.mean(snr_dt) - jnp.mean(snr_cs)
     return DataTxResult(ber=ber, evm=evm, snr_dt=snr_dt, bf_gain=bf_gain)
+
+
+def run_data_transmission_mu(
+    cfg: SimConfig,
+    key,
+    scens,
+    chans,
+    csi_users,
+    noise_db_users,
+    snr_cs_users,
+    fft_size: int = 32768,
+):
+    """Multi-user closed loop: JSDM precoding + per-user decode
+    (the numUsers>1 branch, generate_maMIMO_LTF.m:427-440,531-640).
+
+    Args:
+      scens / chans: stacked per-user Scenario / ChannelRealization.
+      csi_users: (U, C, num_tx, num_rx) per-user CSI used for precoding.
+      noise_db_users: (U,) sounding noise powers.
+      snr_cs_users: (U, num_rx) sounding SNRs.
+
+    Returns: list of per-user DataTxResult.
+    """
+    from mamimo_tpu.channel.scattering import Scenario
+    from mamimo_tpu.ops.jsdm import jsdm_transmit_weights, pack_block_diagonal
+
+    u_cnt = cfg.num_users
+    ns = cfg.num_sts
+    sts_tot = u_cnt * ns
+    k_bits, k_noise = jax.random.split(key)
+
+    fbb, m_frf = jsdm_transmit_weights(csi_users, ns)
+    v = pack_block_diagonal(fbb, ns)                   # (C, sts_tot, sts_tot)
+
+    # per-user coded QPSK frames into the block layout (:466-481)
+    bits_u = []
+    grid = jnp.zeros((cfg.num_carriers, cfg.num_data_symbols, sts_tot),
+                     jnp.complex64)
+    for u in range(u_cnt):
+        bits = jax.random.bernoulli(
+            jax.random.fold_in(k_bits, u), 0.5, (cfg.num_frm_bits,)
+        ).astype(jnp.int32)
+        bits_u.append(bits)
+        syms = qpsk_mod(conv_encode(bits, terminated=True))
+        gu = jnp.moveaxis(
+            syms.reshape(cfg.num_data_symbols, cfg.num_carriers, ns), 0, 1)
+        grid = grid.at[:, :, u * ns:(u + 1) * ns].set(gu)
+
+    fro = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=(1, 2), keepdims=True))
+    norm_v = v * math.sqrt(cfg.num_tx) / jnp.maximum(fro, 1e-30)
+    pre_data = jnp.einsum("cnj,cjo->cno", grid, norm_v)
+
+    pilots = gen_pilots(cfg.num_data_symbols, sts_tot)
+    tx_ofdm = ofdm_modulate(cfg, pre_data, pilots)
+    tx_ofdm = tx_ofdm * (cfg.fft_length / math.sqrt(cfg.used_sc))
+    preamble_d = gen_preamble(cfg, sts_tot, v=v)
+    tx_sts = jnp.concatenate([preamble_d, tx_ofdm], axis=0)
+    tx_sig = tx_sts @ m_frf                            # (L, Nt)
+
+    pre_sound = gen_preamble(cfg, cfg.num_tx)
+    pad = jnp.zeros((cfg.num_pad_zeros, cfg.num_tx), tx_sig.dtype)
+    sig_pad = jnp.concatenate(
+        [pre_sound, pad, tx_sig, jnp.zeros_like(pad)], axis=0)
+
+    results = []
+    for u in range(u_cnt):
+        scen_u = Scenario(*[x[u] for x in scens])
+        chan_u = jax.tree.map(lambda x, u=u: x[u], chans)
+        faded = apply_channel(cfg, sig_pad, chan_u, fft_size=fft_size)
+        faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros:]
+
+        gain_db = scen_u.sp_loss_db
+        noise_db = noise_db_users[u]
+        sig_pwr = jnp.mean(jnp.abs(faded) ** 2, axis=0)
+        snr_dt = 10.0 * jnp.log10(sig_pwr) - noise_db + gain_db
+        n_var_time = 10.0 ** (noise_db / 10.0)
+        z = jax.random.normal(jax.random.fold_in(k_noise, u),
+                              faded.shape + (2,))
+        noise = (z[..., 0] + 1j * z[..., 1]) * jnp.sqrt(n_var_time / 2.0)
+        y = 10.0 ** (gain_db / 20.0) * faded + noise.astype(jnp.complex64)
+        y = y * (math.sqrt(cfg.used_sc) / cfg.fft_length)
+        n_var = n_var_time * (cfg.used_sc / cfg.fft_length**2) / cfg.num_tx
+
+        y_sync = sync_slice(cfg, y, chan_u.chan_delay)
+        rx_grid, _ = ofdm_demodulate(
+            cfg, y_sync, nsym=sts_tot + cfg.num_data_symbols)
+        h_eff = ls_estimate(cfg, rx_grid[:, :sts_tot, :], sts_tot)
+        own = slice(u * ns, (u + 1) * ns)
+        rx_eq, csi_w = mimo_equalize(rx_grid[:, sts_tot:, :],
+                                     h_eff[:, own, :])
+        rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
+            cfg.num_tx)
+        llr = qpsk_demod_llr(rx_syms, n_var)
+        csi_k = jnp.tile(csi_w[:, 0], cfg.num_data_symbols)
+        llr = (llr.reshape(-1, 2) * csi_k[:, None]).reshape(-1)
+        decoded = viterbi_decode(llr, cfg.num_frm_bits, terminated=True)
+        results.append(DataTxResult(
+            ber=bit_error_rate(bits_u[u], decoded),
+            evm=evm_rms(rx_syms, qpsk_constellation()),
+            snr_dt=snr_dt,
+            bf_gain=jnp.mean(snr_dt) - jnp.mean(snr_cs_users[u]),
+        ))
+    return results

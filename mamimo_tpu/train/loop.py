@@ -129,6 +129,9 @@ def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
 
 def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
                     opt):
+    # `data` is passed through as a jit argument (device arrays), not
+    # captured — closure capture would embed the whole dataset as
+    # constants in the executable (and trips the axon TPU backend).
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
 
     def loss_fn(params, bn_state, x2, pilot, y2, rng):
@@ -140,7 +143,7 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
         return jnp.sum(per_dim), (per_dim, new_bn)
 
     @jax.jit
-    def train_step(params, bn_state, opt_state, idx, key, lr):
+    def _train_step(data, params, bn_state, opt_state, idx, key, lr):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
         if tcfg.method == "default_snr":
             k_snr, k_noise, k_drop = jax.random.split(key, 3)
@@ -163,11 +166,17 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
         return params, new_bn, opt_state, per_dim
 
     @jax.jit
-    def eval_step(params, bn_state, idx):
+    def _eval_step(data, params, bn_state, idx):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
         pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
         return jnp.mean((pred - y2) ** 2, axis=(1, 2))
+
+    def train_step(params, bn_state, opt_state, idx, key, lr):
+        return _train_step(data, params, bn_state, opt_state, idx, key, lr)
+
+    def eval_step(params, bn_state, idx):
+        return _eval_step(data, params, bn_state, idx)
 
     return train_step, eval_step
 
@@ -454,7 +463,7 @@ def evaluate_dataset(
     data = _device_data(ds)
 
     @jax.jit
-    def step(idx, key):
+    def _step(data, params, bn_state, idx, key):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
         if drop_input:
             # binomial input mask test (--testDropInput, :377-398)
@@ -465,6 +474,9 @@ def evaluate_dataset(
         pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
         mse = jnp.mean((pred - y2) ** 2, axis=(1, 2))
         return pred, mse
+
+    def step(idx, key):
+        return _step(data, params, bn_state, idx, key)
 
     per_pkt = cfg.num_tx * cfg.num_rx
     preds = []
