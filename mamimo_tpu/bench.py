@@ -104,12 +104,16 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
 
         P = pilot_p_matrix(cfg.num_tx)
 
+    from mamimo_tpu.ops.estimate import ls_estimate_matmul, ls_matmul_constants
+
+    ls_consts = ls_matmul_constants(cfg)
+
     # NOTE: params/bn_state are jit *arguments*, never closure constants —
     # the axon TPU backend fails to compile programs that combine complex
     # inputs with large embedded weight literals, and argument-passing is
     # the right design anyway (no giant constants in the executable).
     @jax.jit
-    def _estimate(p, bn, rx):
+    def _estimate(p, bn, lsc, rx):
         """rx: (B, len_ltf, num_rx) complex64."""
         b = rx.shape[0]
         if use_pallas:
@@ -134,13 +138,13 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
             )
             h_dnn = jnp.transpose(h_dnn, (0, 3, 2, 1))
         else:
-            h_ls, _ = estimate_from_rx(cfg, rx)
+            h_ls = ls_estimate_matmul(cfg, rx, lsc)
             # factored all-pairs inference (layer-1 signal matmul shared
             # across the num_tx pilot columns)
             h_dnn = predict_all_pairs(cfg, tcfg, p, bn, rx)
         return h_ls, h_dnn
 
-    return lambda rx: _estimate(params, bn_state, rx)
+    return lambda rx: _estimate(params, bn_state, ls_consts, rx)
 
 
 def _time_fn(fn, arg, iters):
@@ -154,10 +158,14 @@ def _time_fn(fn, arg, iters):
 
     @jax.jit
     def _chain(rx, out):
-        # scalar dependency on the outputs; keeps rx statistically intact
+        # scalar dependency on the outputs with a VALUE-VISIBLE (but
+        # statistically negligible, ~1e-6 relative) perturbation — a
+        # +1e-30 offset rounds away in fp32 and a value-hashing cache
+        # serves the repeat (measured >2x hardware peak that way)
         leaves = jax.tree.leaves(out)
         s = sum(jnp.real(jnp.ravel(l)[0]) for l in leaves)
-        return rx + (1e-30 * s).astype(rx.dtype)
+        eps = 1e-6 * s * jax.lax.rsqrt(s * s + 1.0)
+        return rx * (1.0 + eps).astype(rx.dtype)
 
     out = fn(arg)                            # warmup/compile
     arg = _chain(arg, out)
@@ -209,12 +217,17 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    from mamimo_tpu.ops.estimate import ls_estimate_matmul, ls_matmul_constants
+
+    lsc = ls_matmul_constants(cfg)
     timings = {}
     timings["xla_full"] = _time_fn(
         make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False),
         rx, iters)
-    timings["ls_xla"] = _time_fn(
+    timings["ls_fft"] = _time_fn(
         jax.jit(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
+    _lsm = jax.jit(lambda c, r: ls_estimate_matmul(cfg, r, c))
+    timings["ls_matmul"] = _time_fn(lambda r: _lsm(lsc, r), rx, iters)
     if on_tpu:
         try:
             timings["pallas_full"] = _time_fn(

@@ -75,6 +75,41 @@ def receiver_chain(
     return sync_slice(cfg, y, chan_delay), snr_cs, noise_db
 
 
+def thermal_noise_power(cfg: SimConfig) -> float:
+    """MATLAB ``noisepow(fs, NF, 290)``: k·T·fs·10^(NF/10) [W] — the
+    thermal noise floor of the useNoiseFig=true receiver branch
+    (generate_maMIMO_LTF.m:270-292)."""
+    k_boltz = 1.380649e-23
+    return k_boltz * 290.0 * cfg.chan_srate * 10.0 ** (
+        cfg.noise_figure / 10.0)
+
+
+def receiver_chain_nf(cfg: SimConfig, key, rx_sig, gain_db, chan_delay):
+    """Noise-figure-based receiver (the useNoiseFig=true branch):
+    thermal noise set by bandwidth + noise figure instead of a target
+    SNR, with the subcarrier scale factor applied to the variance
+    (generate_maMIMO_LTF.m:280-292).
+
+    Returns (y_sync, snr_db_per_antenna, noise_db).
+    """
+    rx_sig = jnp.asarray(rx_sig, jnp.complex64)
+    sc_fact = (cfg.used_sc / cfg.fft_length**2) / cfg.num_tx
+    n_var = thermal_noise_power(cfg) / sc_fact
+    noise_db = 10.0 * math.log10(n_var)
+
+    sig_pwr = jnp.mean(jnp.abs(rx_sig) ** 2, axis=0)
+    scaled = sig_pwr * (math.sqrt(cfg.used_sc) / cfg.fft_length)
+    snr_db = 10.0 * jnp.log10(scaled) - noise_db
+
+    z = jax.random.normal(key, rx_sig.shape + (2,))
+    noise = (z[..., 0] + 1j * z[..., 1]) * math.sqrt(n_var / 2.0)
+    gain_amp = 10.0 ** (gain_db / 20.0)
+    y = gain_amp * rx_sig + noise.astype(jnp.complex64)
+    y = y * (math.sqrt(cfg.used_sc) / cfg.fft_length)
+    return sync_slice(cfg, y, chan_delay), snr_db, jnp.asarray(
+        noise_db, jnp.float32)
+
+
 def interference_chain(
     cfg: SimConfig,
     key,
@@ -84,8 +119,16 @@ def interference_chain(
     interference_power_dbm: float = -55.0,
 ):
     """SINR variant (generate_maMIMO_LTF_SINR.m:225-251): fixed thermal
-    noise floor plus explicit complex-Gaussian interference; no preamp
-    gain. Returns (y_sync, sinr_db_per_antenna, noise_db).
+    noise floor (−85 dBm) plus explicit complex-Gaussian interference
+    (−55 dBm); no preamp gain. Returns
+    (y_sync, sinr_db_per_antenna, noise_db).
+
+    Deviations from the reference, on purpose: the SINR here is computed
+    from the *measured* received power (the reference predicts it from
+    Tx power − spLoss + 10log10(Ns), :229-239); and noise/interference
+    are proper unit-variance circular Gaussians (the reference's
+    ``std*(randn + 1j*randn)`` draw is 3 dB hotter than its nominal
+    power, :243-250 — a quirk not worth replicating).
     """
     rx_sig = jnp.asarray(rx_sig, jnp.complex64)
     sig_pwr = jnp.mean(jnp.abs(rx_sig) ** 2, axis=0)

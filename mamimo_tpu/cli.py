@@ -244,7 +244,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--packets", type=int, default=500)
     g.add_argument("--snr", type=float, default=120.0)
     g.add_argument("--mmse", action="store_true")
-    g.add_argument("--noise-mode", default="snr", choices=["snr", "sinr"])
+    g.add_argument("--noise-mode", default="snr",
+                   choices=["snr", "sinr", "nf"])
     g.add_argument("--chunk", type=int, default=16)
     g.add_argument("-o", "--out", required=True)
     g.set_defaults(fn=cmd_gen)

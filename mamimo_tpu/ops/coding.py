@@ -166,6 +166,65 @@ def qpsk_demod_llr(syms, noise_var):
     return llr.reshape(-1)
 
 
+# ----------------------------------------------------------------------
+# Generic square M-QAM (MATLAB qammod/qamdemod 'gray','UnitAveragePower')
+# ----------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _qam_tables(m: int):
+    """(constellation (m,), bit_table (m, log2(m))) gray square QAM with
+    unit average power. Bit order: [I bits | Q bits], MSB first per axis."""
+    k = int(np.log2(m))
+    assert 2 ** k == m and k % 2 == 0, "square QAM only"
+    kh = k // 2
+    n_pam = 1 << kh
+    # gray-coded PAM: level index -> amplitude
+    lev = np.arange(n_pam)
+    gray = lev ^ (lev >> 1)
+    amp = 2 * lev - (n_pam - 1)
+    amp_for_gray = np.zeros(n_pam)
+    amp_for_gray[gray] = amp                       # gray code g -> amplitude
+    scale = np.sqrt(2.0 * (n_pam**2 - 1) / 3.0)    # unit avg power
+    const = np.zeros(m, np.complex64)
+    bits = np.zeros((m, k), np.int8)
+    for i in range(m):
+        gi, gq = i >> kh, i & (n_pam - 1)
+        const[i] = (amp_for_gray[gi] + 1j * amp_for_gray[gq]) / scale
+        for b in range(kh):
+            bits[i, b] = (gi >> (kh - 1 - b)) & 1
+            bits[i, kh + b] = (gq >> (kh - 1 - b)) & 1
+    return const, bits
+
+
+def qam_mod(bits, m: int):
+    """Gray square M-QAM, unit average power; bits (k*K,) -> (K,) symbols.
+    For m=4 this equals qpsk_mod's mapping up to bit-order convention."""
+    const, table = _qam_tables(m)
+    k = table.shape[1]
+    b = jnp.asarray(bits, jnp.int32).reshape(-1, k)
+    # bits -> gray index -> symbol index
+    weights = jnp.asarray(1 << np.arange(k - 1, -1, -1), jnp.int32)
+    idx = jnp.sum(b * weights, axis=1)
+    # table rows are indexed by (gi<<kh)|gq where gi/gq ARE the gray
+    # codes spelled by the bits, so idx indexes the table directly
+    return jnp.asarray(const)[idx]
+
+
+def qam_demod_approx_llr(syms, m: int, noise_var):
+    """Max-log approximate LLRs (MATLAB 'approxllr'): llr>0 ⇒ bit 0.
+
+    llr_b = (min_{s: bit_b(s)=1} |y−s|² − min_{s: bit_b(s)=0} |y−s|²)/σ²
+    """
+    const, table = _qam_tables(m)
+    y = jnp.asarray(syms).reshape(-1)
+    d2 = jnp.abs(y[:, None] - jnp.asarray(const)) ** 2     # (K, m)
+    t = jnp.asarray(table.astype(np.float32)).T            # (k, m)
+    big = jnp.float32(1e30)
+    d0 = jnp.min(d2[:, None, :] + big * t, axis=-1)        # (K, k)
+    d1 = jnp.min(d2[:, None, :] + big * (1.0 - t), axis=-1)
+    return ((d1 - d0) / noise_var).reshape(-1)
+
+
 def mimo_equalize(rx_grid, h):
     """Per-subcarrier zero-forcing MIMO equalization + CSI weights
     (helperMIMOEqualize behaviour: equalized symbols plus per-stream

@@ -39,6 +39,50 @@ def ls_estimate(cfg: SimConfig, rx_grid, num_sts: int | None = None):
     return hd / denom[:, None, None]
 
 
+def ls_matmul_constants(cfg: SimConfig):
+    """Trace-time constants for the matmul-form LS estimator:
+    (A, P) with A[c, t] = exp(-2πj·b_c·t/N)/(nltf·ltf_c) the scaled
+    selected-bin DFT matrix and P the pilot mapping. Pass these as jit
+    *arguments* (they are ~0.5 MB; keeping executables literal-free)."""
+    import numpy as np
+
+    from mamimo_tpu.ops.ltf import _hadamard_np, _ltf_np
+
+    n = cfg.fft_length
+    bins = np.asarray(cfg.carrier_locations, np.float64) - n // 2
+    t = np.arange(n)
+    a = np.exp(-2j * np.pi * bins[:, None] * t[None, :] / n)
+    ltf = _ltf_np(n)[np.asarray(cfg.carrier_locations)].astype(np.float64)
+    a = (a / (cfg.num_tx * ltf)[:, None]).astype(np.complex64)
+    p = _hadamard_np(cfg.num_tx)
+    return jnp.asarray(a), jnp.asarray(p)
+
+
+def ls_estimate_matmul(cfg: SimConfig, rx, consts=None):
+    """LS estimation from the raw preamble as two batched matmuls —
+    the 256-point demod FFT *is* a matmul at this size, and on the MXU
+    that beats the FFT lowering. Mathematically identical to
+    ofdm_demodulate + ls_estimate.
+
+    Args:
+      rx: (B, len_ltf, num_rx) complex64.
+      consts: optional (A, P) from ls_matmul_constants.
+
+    Returns:
+      (B, num_carriers, num_tx, num_rx) complex64.
+    """
+    if consts is None:
+        consts = ls_matmul_constants(cfg)
+    a, p = consts
+    b, _, nrx = rx.shape
+    nsym = cfg.num_tx
+    x = rx.reshape(b, nsym, cfg.sym_len, nrx)[:, :, cfg.cp_length:, :]
+    # despread over symbols, then DFT-select over time
+    y = jnp.einsum("jn,bntr->bjtr", p.astype(rx.dtype), x)
+    est = jnp.einsum("ct,bjtr->bcjr", a, y)
+    return est
+
+
 def lmmse_weight(cfg: SimConfig, tau, snr_db):
     """Per-(packet, rx-antenna) LMMSE smoothing matrix M = Rhp · Rpp⁻¹.
 

@@ -93,7 +93,12 @@ def run_data_transmission(
         jnp.int32
     )
     coded = conv_encode(bits, terminated=True)         # (3*(K+6),)
-    syms = qpsk_mod(coded)                             # (C*nsym,)
+    if cfg.bits_per_subcarrier == 2:
+        syms = qpsk_mod(coded)                         # (C*nsym,)
+    else:
+        from mamimo_tpu.ops.coding import qam_mod
+
+        syms = qam_mod(coded, cfg.mod_order)
     grid = syms.reshape(cfg.num_data_symbols, cfg.num_carriers, ns)
     grid = jnp.moveaxis(grid, 0, 1)                    # (C, nsym, ns)
 
@@ -145,14 +150,22 @@ def run_data_transmission(
     rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
         cfg.num_tx
     )
-    llr = qpsk_demod_llr(rx_syms, n_var)               # (2*C*nsym,)
+    if cfg.bits_per_subcarrier == 2:
+        llr = qpsk_demod_llr(rx_syms, n_var)           # (2*C*nsym,)
+        ref_const = qpsk_constellation()
+    else:
+        from mamimo_tpu.ops.coding import _qam_tables, qam_demod_approx_llr
+
+        llr = qam_demod_approx_llr(rx_syms, cfg.mod_order, n_var)
+        ref_const = jnp.asarray(_qam_tables(cfg.mod_order)[0])
     # CSI scaling per subcarrier (:594-598)
     csi_k = jnp.tile(csi_w[:, 0], cfg.num_data_symbols)   # sym-major, c fast
-    llr = (llr.reshape(-1, 2) * csi_k[:, None]).reshape(-1)
+    llr = (llr.reshape(-1, cfg.bits_per_subcarrier)
+           * csi_k[:, None]).reshape(-1)
 
     decoded = viterbi_decode(llr, cfg.num_frm_bits, terminated=True)
     ber = bit_error_rate(bits, decoded)
-    evm = evm_rms(rx_syms, qpsk_constellation())
+    evm = evm_rms(rx_syms, ref_const)
     bf_gain = jnp.mean(snr_dt) - jnp.mean(snr_cs)
     return DataTxResult(ber=ber, evm=evm, snr_dt=snr_dt, bf_gain=bf_gain)
 

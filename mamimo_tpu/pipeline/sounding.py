@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from mamimo_tpu.config import SimConfig
-from mamimo_tpu.channel.noise import interference_chain, receiver_chain
+from mamimo_tpu.channel.noise import (
+    interference_chain,
+    receiver_chain,
+    receiver_chain_nf,
+)
 from mamimo_tpu.channel.scattering import (
     ChannelRealization,
     Scenario,
@@ -97,6 +101,10 @@ def sound_packet(
     elif noise_mode == "sinr":
         rx, snr_cs, noise_db = interference_chain(
             cfg, k_noise, faded, chan.chan_delay
+        )
+    elif noise_mode == "nf":
+        rx, snr_cs, noise_db = receiver_chain_nf(
+            cfg, k_noise, faded, gain_db, chan.chan_delay
         )
     else:
         raise ValueError(f"unknown noise_mode {noise_mode!r}")

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Full BS32 paper-configuration run on the TPU.
+
+Stages (each logged + checkpointed so the run is resumable):
+  0. micro-fit sanity (32 packets, 2 epochs) — verifies every program
+     compiles on the chip before committing to the long run
+  1. generate the noiseless training corpus (SNR=120)
+  2. train the denoiser (early stopping)
+  3. per-SNR test sets + DNN predictions + NMSE sweep (+ optional
+     closed loop)
+
+Usage: nohup python scripts/run_bs32_tpu.py [--packets 3000] &
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--packets", type=int, default=3000)
+    ap.add_argument("--test-packets", type=int, default=500)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--snr", type=float, nargs="+",
+                    default=[-25, -20, -15, -10, -5, 0, 5, 10])
+    ap.add_argument("--workdir", default="runs/bs32")
+    ap.add_argument("--closed-loop", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    from mamimo_tpu.config import SimConfig, TrainConfig
+    from mamimo_tpu.eval.snr_sweep import plot_sweep, run_snr_sweep
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+    from mamimo_tpu.train import fit
+    from mamimo_tpu.train.loop import evaluate_dataset
+
+    cfg = SimConfig()
+    tcfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    os.makedirs(args.workdir, exist_ok=True)
+
+    # ---- stage 0: micro sanity ----
+    t0 = time.time()
+    log("stage 0: micro-fit sanity (compiles every program)...")
+    mini = generate_dataset(cfg, seed=99, num_packets=32, snr_db=120.0,
+                            chunk=16)
+    mini_t = TrainConfig(hidden=tcfg.hidden, batch_size=256, epochs=2,
+                         early_stop_patience=50, seed=1)
+    res = fit(cfg, mini_t, mini, verbose=False)
+    log(f"stage 0 OK in {time.time()-t0:.0f}s "
+        f"(losses {res.history['loss_real']})")
+
+    # ---- stage 1: training corpus ----
+    train_path = os.path.join(args.workdir, "train.npz")
+    if os.path.exists(train_path):
+        from mamimo_tpu.pipeline.dataset import CSIDataset
+        train_ds = CSIDataset.load(train_path)
+        log(f"stage 1: loaded existing corpus ({train_ds.num_packets} pkts)")
+    else:
+        t0 = time.time()
+        log(f"stage 1: generating {args.packets} noiseless packets...")
+        train_ds = generate_dataset(cfg, seed=args.seed,
+                                    num_packets=args.packets,
+                                    snr_db=120.0, chunk=32)
+        train_ds.save(train_path)
+        log(f"stage 1 OK in {time.time()-t0:.0f}s -> {train_path}")
+
+    # ---- stage 2: train ----
+    t0 = time.time()
+    log("stage 2: training...")
+    res = fit(cfg, tcfg, train_ds, workdir=args.workdir, resume=True)
+    log(f"stage 2 OK in {time.time()-t0:.0f}s: {res.epochs_ran} epochs, "
+        f"best val {res.best_val.tolist()}")
+
+    # ---- stage 3: sweep ----
+    from mamimo_tpu.train.ckpt import load_checkpoint
+
+    ck = load_checkpoint(os.path.join(args.workdir, "best"))
+
+    def predictor(ds):
+        pred, _ = evaluate_dataset(ds.cfg, ck["tcfg"], ck["params"],
+                                   ck["bn_state"], ds, batch_packets=8)
+        return pred
+
+    t0 = time.time()
+    log("stage 3: SNR sweep...")
+    sweep = run_snr_sweep(
+        cfg, snr_levels=args.snr, num_packets=args.test_packets,
+        seed=args.seed + 1, predictor=predictor,
+        closed_loop=args.closed_loop, max_cl_packets=50, chunk=32,
+    )
+    outdir = os.path.join(args.workdir, "test_results")
+    os.makedirs(outdir, exist_ok=True)
+    sweep.save(os.path.join(outdir, "sweep.json"))
+    plot_sweep(sweep, outdir)
+    log(f"stage 3 OK in {time.time()-t0:.0f}s -> {outdir}/sweep.json")
+    log("summary NMSE(dB): " + json.dumps({
+        s: [round(10 * __import__('math').log10(v + 1e-30), 2)
+            for v in vals]
+        for s, vals in sweep.nmse.items()}))
+
+
+if __name__ == "__main__":
+    main()
