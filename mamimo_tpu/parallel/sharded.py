@@ -127,7 +127,8 @@ def param_shardings(mesh: Mesh, params: Any, bn_state: Any,
 
 def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
                             data_axis: str = "data",
-                            model_axis: str = "model"):
+                            model_axis: str = "model",
+                            avg_sig_pow: float = 0.0):
     """Build a jitted DP+TP train step over `mesh`.
 
     Returns (init_fn, step_fn):
@@ -165,8 +166,17 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
         per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))
         return jnp.sum(per_dim), (per_dim, new_bn)
 
+    levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, bn_state, opt_state, x2, pilot, y2, key, lr):
+        if tcfg.method == "default_snr":
+            k_snr, k_noise, key = jax.random.split(key, 3)
+            lev = levels[jax.random.randint(k_snr, (2,), 0, len(levels))]
+            npow = avg_sig_pow / (10.0 ** (lev / 10.0))
+            std = jnp.sqrt(npow) / jnp.sqrt(2.0)
+            noise = jax.random.normal(k_noise, x2.shape)
+            x2 = x2 + noise * std[:, None, None]
         x2 = jax.lax.with_sharding_constraint(x2, batch_sh)
         y2 = jax.lax.with_sharding_constraint(y2, batch_sh)
         pilot = jax.lax.with_sharding_constraint(pilot, pilot_sh)

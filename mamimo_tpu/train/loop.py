@@ -190,15 +190,24 @@ def fit(
     verbose: bool = True,
     resume: bool = False,
     host_stream: bool = False,
+    mesh=None,
 ) -> TrainResult:
     """Train the stacked real/imag CSI MLP. Returns best-restored params.
 
     With resume=True and an existing ``<workdir>/last`` checkpoint,
     training continues from the saved epoch/optimizer state — mid-run
     resume, which the reference lacks entirely (SURVEY.md §5).
+
+    With mesh given (a jax.sharding.Mesh with a 'data' and optionally a
+    'model' axis), the train step runs DP+TP sharded over the mesh
+    (parallel/sharded.py); resume is not supported on this path yet.
     """
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
+    if mesh is not None:
+        assert not host_stream and not resume, (
+            "mesh-parallel fit does not combine with host_stream/resume"
+        )
 
     if host_stream:
         # larger-than-HBM path: mmap'd raw container + native C++ gather
@@ -268,7 +277,37 @@ def fit(
         if verbose:
             print(f"[fit] resuming from epoch {start_epoch}")
 
-    if host_stream:
+    if mesh is not None:
+        from mamimo_tpu.parallel.sharded import make_sharded_train_step
+
+        init_fn, sh_step = make_sharded_train_step(
+            cfg, tcfg, mesh, avg_sig_pow=avg_sig_pow)
+        params, bn_state, opt_state = init_fn(k_init)
+        _, arr_eval_step = make_array_train_step(cfg, tcfg, avg_sig_pow,
+                                                 opt)
+        rx_np = train_ds.rx
+        h_np = train_ds.h_ls
+        val_rx = val_ds.rx if val_ds is not None else rx_np
+        val_h = val_ds.h_ls if val_ds is not None else h_np
+        P_np = train_ds.pilot_matrix().T
+
+        def _np_batch(rxa, ha, idx_np):
+            p, t, r = train_ds.decompose_index(idx_np)
+            sig = rxa[p, :, r]
+            lab = ha[p, :, t, r]
+            x2 = jnp.asarray(np.stack([np.real(sig), np.imag(sig)]))
+            y2 = jnp.asarray(np.stack([np.real(lab), np.imag(lab)]))
+            return x2, jnp.asarray(P_np[t]), y2
+
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
+            x2, pilot, y2 = _np_batch(rx_np, h_np, idx_np)
+            return sh_step(params, bn_state, opt_state, x2, pilot, y2,
+                           kstep, lr)
+
+        def run_val(params, bn_state, idx_np):
+            x2, pilot, y2 = _np_batch(val_rx, val_h, idx_np)
+            return arr_eval_step(params, bn_state, x2, pilot, y2)
+    elif host_stream:
         arr_train_step, arr_eval_step = make_array_train_step(
             cfg, tcfg, avg_sig_pow, opt)
 
@@ -309,8 +348,10 @@ def fit(
     best_val = np.asarray(resumed_extra.get("best_val", [np.inf, np.inf]),
                           np.float64)
     lr = float(resumed_extra.get("lr", tcfg.lr))
-    best_params = params
-    best_bn = bn_state
+    # host snapshots: the sharded step donates its inputs, so device
+    # references to the initial state die after the first step
+    best_params = jax.device_get(params)
+    best_bn = jax.device_get(bn_state)
     since_best = np.asarray([0, 0])
     since_plateau = 0
     best_sum = np.inf

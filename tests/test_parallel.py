@@ -99,3 +99,21 @@ def test_sharded_params_actually_sharded(small_cfg):
     assert len(w0.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in w0.addressable_shards}
     assert shard_shapes == {(2, cfg.len_ltf + cfg.num_tx, 32)}
+
+
+def test_fit_with_mesh(small_cfg):
+    """fit(mesh=...) trains DP+TP end-to-end on the virtual mesh."""
+    from mamimo_tpu.config import TrainConfig
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+    from mamimo_tpu.train.loop import fit
+
+    cfg = small_cfg
+    ds = generate_dataset(cfg, seed=21, num_packets=8, snr_db=120.0,
+                          chunk=4, fft_size=8192)
+    tcfg = TrainConfig(hidden=(64, 64), batch_size=16, epochs=2,
+                       early_stop_patience=50, seed=0)
+    mesh = make_mesh({"data": 4, "model": 2})
+    res = fit(cfg, tcfg, ds, verbose=False, mesh=mesh)
+    assert res.epochs_ran == 2
+    assert np.all(np.isfinite(res.best_val))
+    assert res.history["loss_real"][1] < res.history["loss_real"][0] * 1.5
