@@ -148,33 +148,39 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
 
 
 def _time_fn(fn, arg, iters):
-    """Time with a data-dependency chain: each call's input is perturbed
-    by the previous call's output. This defeats result caching and
-    premature-completion acknowledgements in remote/async runtimes
-    (independent identical calls measured 1 EFLOP/s on the tunneled TPU
-    — off by >10x from hardware peak)."""
+    """Honest timing on async/remote runtimes. Three defenses:
+
+    * a data-dependency chain — each call's input is perturbed by a
+      VALUE-VISIBLE (~1e-6 relative) function of the previous output, so
+      calls serialize and a value-hashing result cache never hits;
+    * a forced float32 *scalar fetch* per timing window — on the
+      tunneled TPU backend `block_until_ready` acknowledges before
+      execution (independent identical calls "measured" 1 EFLOP/s);
+      a host transfer is the only true barrier;
+    * warmup includes one forced fetch, so compile time stays out.
+    """
     import jax
     import jax.numpy as jnp
 
+    reduce_ = jax.jit(
+        lambda out: sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(out))
+    )
+
     @jax.jit
-    def _chain(rx, out):
-        # scalar dependency on the outputs with a VALUE-VISIBLE (but
-        # statistically negligible, ~1e-6 relative) perturbation — a
-        # +1e-30 offset rounds away in fp32 and a value-hashing cache
-        # serves the repeat (measured >2x hardware peak that way)
-        leaves = jax.tree.leaves(out)
-        s = sum(jnp.real(jnp.ravel(l)[0]) for l in leaves)
+    def _chain(rx, s):
         eps = 1e-6 * s * jax.lax.rsqrt(s * s + 1.0)
         return rx * (1.0 + eps).astype(rx.dtype)
 
     out = fn(arg)                            # warmup/compile
-    arg = _chain(arg, out)
-    jax.block_until_ready(arg)
+    s = reduce_(out)
+    arg = _chain(arg, s)
+    float(reduce_(fn(arg)))                  # forced warm fetch
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(arg)
-        arg = _chain(arg, out)
-    jax.block_until_ready(arg)
+        s = reduce_(out)
+        arg = _chain(arg, s)
+    float(s)                                 # true barrier: scalar fetch
     return (time.perf_counter() - t0) / iters
 
 
@@ -209,9 +215,16 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     key = jax.random.PRNGKey(0)
     params, bn_state = init_stacked(key, cfg, tcfg)
 
-    # synthetic received preambles (content doesn't affect timing)
-    z = jax.random.normal(key, (batch_packets, cfg.len_ltf, cfg.num_rx, 2))
-    rx = (z[..., 0] + 1j * z[..., 1]).astype(jnp.complex64)
+    # synthetic received preambles (content doesn't affect timing).
+    # Built INSIDE jit: eager `1j*z` would device_put a complex constant,
+    # which the tunneled backend cannot transfer.
+    @jax.jit
+    def _mk_rx(k):
+        z = jax.random.normal(
+            k, (batch_packets, cfg.len_ltf, cfg.num_rx, 2))
+        return jax.lax.complex(z[..., 0], z[..., 1])
+
+    rx = _mk_rx(key)
     n_est = batch_packets * cfg.num_tx * cfg.num_rx
 
     if profile_dir:

@@ -27,6 +27,7 @@ from mamimo_tpu.ops.metrics import nmse_subk
 from mamimo_tpu.pipeline.dataset import CSIDataset
 from mamimo_tpu.pipeline.datatx import run_data_transmission
 from mamimo_tpu.channel.scattering import realize_channel
+from mamimo_tpu.utils.numerics import put_complex
 
 
 @dataclasses.dataclass
@@ -51,12 +52,12 @@ class ClosedLoopMetrics:
 
 def nmse_vs_snr(ds: CSIDataset, predictions: Optional[np.ndarray] = None):
     """Fast (sounding-only) NMSE summary for each estimator source."""
-    ref = jnp.asarray(ds.h_perfect)
-    out = {"ls": np.asarray(nmse_subk(ref, jnp.asarray(ds.h_ls)))}
+    ref = put_complex(ds.h_perfect)
+    out = {"ls": np.asarray(nmse_subk(ref, put_complex(ds.h_ls)))}
     if ds.h_mmse is not None:
-        out["lmmse"] = np.asarray(nmse_subk(ref, jnp.asarray(ds.h_mmse)))
+        out["lmmse"] = np.asarray(nmse_subk(ref, put_complex(ds.h_mmse)))
     if predictions is not None:
-        out["dnn"] = np.asarray(nmse_subk(ref, jnp.asarray(predictions)))
+        out["dnn"] = np.asarray(nmse_subk(ref, put_complex(predictions)))
     return out
 
 
@@ -99,7 +100,7 @@ def evaluate_closed_loop(
     results = {s: {"ber": [], "evm": [], "nmse": [], "bf": []}
                for s in srcs}
     base_eval = jax.random.PRNGKey(seed)
-    ref = jnp.asarray(ds.h_perfect[:n])
+    ref = put_complex(ds.h_perfect[:n])
 
     for s in srcs:
         if s == "ls":
@@ -110,14 +111,14 @@ def evaluate_closed_loop(
             csi_all = predictions
         else:
             csi_all = ds.h_perfect
-        nm = np.asarray(nmse_subk(ref, jnp.asarray(csi_all[:n])))
+        nm = np.asarray(nmse_subk(ref, put_complex(csi_all[:n])))
         for p in range(n):
             # same random draws (rays/bits/noise) for every source at a
             # given packet, like the single rng stream in the reference
             r = run(
                 ds.packet_key(p),
                 jax.random.fold_in(base_eval, p),
-                jnp.asarray(csi_all[p]),
+                put_complex(csi_all[p]),
                 jnp.asarray(ds.snr_cs[p]),
                 jnp.asarray(ds.noise_db[p]),
             )

@@ -14,6 +14,7 @@ import numpy as np
 
 from mamimo_tpu.config import SimConfig, TrainConfig
 from mamimo_tpu.models.mlp import predict_complex
+from mamimo_tpu.utils.numerics import get_complex, put_complex
 from mamimo_tpu.train.ckpt import load_checkpoint
 
 
@@ -43,9 +44,9 @@ class CSIPredictor:
         x = self.preprocess_data(input_batch)
         y = predict_complex(
             self.cfg, self.tcfg, self.params, self.bn_state,
-            jnp.asarray(x), jnp.asarray(pilot, jnp.float32),
+            put_complex(x), jnp.asarray(pilot, jnp.float32),
         )
-        return self.postprocess_data(np.asarray(y))
+        return self.postprocess_data(get_complex(y))
 
     # ------------------------------------------------------------------
     def preprocess_data(self, input_batch: np.ndarray) -> np.ndarray:

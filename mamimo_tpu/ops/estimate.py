@@ -55,7 +55,8 @@ def ls_matmul_constants(cfg: SimConfig):
     ltf = _ltf_np(n)[np.asarray(cfg.carrier_locations)].astype(np.float64)
     a = (a / (cfg.num_tx * ltf)[:, None]).astype(np.complex64)
     p = _hadamard_np(cfg.num_tx)
-    return jnp.asarray(a), jnp.asarray(p)
+    from mamimo_tpu.utils.numerics import put_complex
+    return put_complex(a), jnp.asarray(p)
 
 
 def ls_estimate_matmul(cfg: SimConfig, rx, consts=None):

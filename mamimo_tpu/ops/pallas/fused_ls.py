@@ -49,10 +49,11 @@ def _dft_selected(cfg: SimConfig):
 
 
 def _kernel(xr_ref, xi_ref, p_ref, ar_ref, ai_ref, or_ref, oi_ref,
-            *, nsym: int, g: int, nfft: int, cp: int):
-    # x: (g, nsym, sym_len) real/imag planes
-    xr = xr_ref[:, :, cp:]                       # (g, nsym, nfft)
-    xi = xi_ref[:, :, cp:]
+            *, nsym: int, g: int, nfft: int):
+    # x: (g, nsym, nfft) real/imag planes (CP already dropped outside —
+    # a lane-dim slice at a non-tile-aligned offset is hostile to Mosaic)
+    xr = xr_ref[:]                               # (g, nsym, nfft)
+    xi = xi_ref[:]
     # despread over symbols first: Y[g, j, t] = Σ_n P[j, n]·x[g, n, t]
     # flatten (g, t) into the matmul N dimension:
     xr2 = xr.transpose(1, 0, 2).reshape(nsym, g * nfft)
@@ -98,11 +99,12 @@ def ls_estimate_pallas(
     npairs = b * nrx
     npad = ((npairs + g - 1) // g) * g
 
-    # (pairs, nsym, sym_len) planes, pair index = b*nrx + r
+    # (pairs, nsym, nfft) planes (CP dropped), pair index = b*nrx + r
     x = jnp.transpose(rx, (0, 2, 1)).reshape(npairs, nsym, cfg.sym_len)
-    xr = jnp.zeros((npad, nsym, cfg.sym_len), jnp.float32
+    x = x[:, :, cfg.cp_length:]
+    xr = jnp.zeros((npad, nsym, cfg.fft_length), jnp.float32
                    ).at[:npairs].set(jnp.real(x))
-    xi = jnp.zeros((npad, nsym, cfg.sym_len), jnp.float32
+    xi = jnp.zeros((npad, nsym, cfg.fft_length), jnp.float32
                    ).at[:npairs].set(jnp.imag(x))
 
     a = _dft_selected(cfg)
@@ -111,17 +113,16 @@ def ls_estimate_pallas(
     p = jnp.asarray(_hadamard_np(nsym))
     c = cfg.num_carriers
 
-    kern = functools.partial(_kernel, nsym=nsym, g=g,
-                             nfft=cfg.fft_length, cp=cfg.cp_length)
+    kern = functools.partial(_kernel, nsym=nsym, g=g, nfft=cfg.fft_length)
     grid = (npad // g,)
     out_shape = [jax.ShapeDtypeStruct((npad, c, nsym), jnp.float32)] * 2
     or_, oi_ = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((g, nsym, cfg.sym_len), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, nsym, cfg.fft_length), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nsym, cfg.sym_len), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, nsym, cfg.fft_length), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nsym, nsym), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -182,7 +182,9 @@ def generate_dataset(
     base = jax.random.PRNGKey(seed)
     key_scen, key_pkts = jax.random.split(base)
     scen = scenario if scenario is not None else make_scenario(cfg, key_scen)
-    preamble = gen_preamble(cfg, cfg.num_tx)
+    # built under jit: eager complex construction device_puts complex
+    # constants, which the tunneled TPU backend cannot transfer
+    preamble = jax.jit(lambda: gen_preamble(cfg, cfg.num_tx))()
 
     def one(k):
         res, _ = sound_packet(
@@ -193,13 +195,18 @@ def generate_dataset(
 
     batched = jax.jit(jax.vmap(one))
 
+    from mamimo_tpu.utils.numerics import fetch_tree
+
     outs = []
     for start in range(0, num_packets, chunk):
         n = min(chunk, num_packets - start)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             key_pkts, jnp.arange(start, start + n)
         )
-        outs.append(jax.device_get(batched(keys)))
+        # fetch_tree: complex leaves come back as float-plane transfers
+        # (complex host<->device copies are unimplemented on the tunneled
+        # TPU backend)
+        outs.append(fetch_tree(batched(keys)))
 
     def cat(name):
         return np.concatenate([getattr(o, name) for o in outs], axis=0)

@@ -47,9 +47,11 @@ class TrainResult(NamedTuple):
 
 
 def _device_data(ds: CSIDataset):
+    from mamimo_tpu.utils.numerics import put_complex
+
     return {
-        "rx": jnp.asarray(ds.rx),                   # (B, L, R) complex64
-        "h": jnp.asarray(ds.h_ls),                  # (B, C, T, R) complex64
+        "rx": put_complex(ds.rx),                   # (B, L, R) complex64
+        "h": put_complex(ds.h_ls),                  # (B, C, T, R) complex64
         "P": jnp.asarray(ds.pilot_matrix(), jnp.float32),  # (T, T)
     }
 
