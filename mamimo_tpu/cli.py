@@ -84,8 +84,16 @@ def cmd_train(args) -> None:
     ds = CSIDataset.load(args.dataset)
     tcfg = _train_cfg(args)
     val_ds = CSIDataset.load(args.val) if args.val else None
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        from mamimo_tpu.parallel.mesh import make_mesh
+
+        axes = {"data": args.dp}
+        if args.tp > 1:
+            axes["model"] = args.tp
+        mesh = make_mesh(axes)
     res = fit(ds.cfg, tcfg, ds, val_ds=val_ds, workdir=args.workdir,
-              resume=args.resume)
+              resume=args.resume, host_stream=args.host_stream, mesh=mesh)
     print(f"[train] done: {res.epochs_ran} epochs, "
           f"best val = {res.best_val.tolist()} -> {args.workdir}")
 
@@ -257,6 +265,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--resume", action="store_true",
                    help="continue from <workdir>/last checkpoint")
+    t.add_argument("--host-stream", action="store_true",
+                   help="stream batches via the native C++ loader")
+    t.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size (devices)")
+    t.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (devices)")
     _add_train_args(t)
     t.set_defaults(fn=cmd_train)
 

@@ -7,5 +7,11 @@ from mamimo_tpu.ops.ltf import (  # noqa: F401
     pilot_p_matrix,
     gen_preamble,
 )
-from mamimo_tpu.ops.estimate import ls_estimate, lmmse_estimate  # noqa: F401
+from mamimo_tpu.ops.estimate import (  # noqa: F401
+    lmmse_estimate,
+    ls_estimate,
+    ls_estimate_matmul,
+)
 from mamimo_tpu.ops.metrics import nmse_subk, mse_abs, evm_rms  # noqa: F401
+from mamimo_tpu.ops.omp import omp_decomp, omp_hyb_weights  # noqa: F401
+from mamimo_tpu.ops.jsdm import jsdm_transmit_weights  # noqa: F401

@@ -129,6 +129,20 @@ def gen_preamble(cfg: SimConfig, num_sts: int | None = None, v=None):
     P = _hadamard_np(num_sts)
     scale = preamble_scale(cfg, num_sts)
 
+    if v is None:
+        # static sounding preamble: pure NumPy so callers get a host
+        # array (embeds as a program constant under jit; the tunneled
+        # TPU backend cannot device_put complex arrays — use
+        # utils.numerics.put_complex to place it explicitly)
+        grid_np = (ltf[:, None, None] * P.T[None, :, :] * scale
+                   ).astype(np.complex64)
+        t_np = np.fft.ifft(np.fft.ifftshift(grid_np, axes=0), axis=0)
+        sym_np = np.concatenate([t_np[-cfg.cp_length:], t_np], axis=0)
+        sym_np = np.moveaxis(sym_np, 1, 0)
+        return sym_np.reshape(
+            sym_np.shape[0] * sym_np.shape[1], sym_np.shape[2]
+        ).astype(np.complex64)
+
     # Full-grid symbols: grid[k, n, j] = ltf[k] * P[j, n] * scale
     grid = jnp.asarray(
         ltf[:, None, None] * P.T[None, :, :] * scale, jnp.complex64

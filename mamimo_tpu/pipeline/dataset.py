@@ -179,21 +179,24 @@ def generate_dataset(
     produced in jit-compiled vmapped chunks (the `screen` process fanout
     of full_pipeline_maMIMO_DNNEst.sh:14-17 becomes a batch axis).
     """
+    from mamimo_tpu.utils.numerics import put_complex
+
     base = jax.random.PRNGKey(seed)
     key_scen, key_pkts = jax.random.split(base)
     scen = scenario if scenario is not None else make_scenario(cfg, key_scen)
-    # built under jit: eager complex construction device_puts complex
-    # constants, which the tunneled TPU backend cannot transfer
-    preamble = jax.jit(lambda: gen_preamble(cfg, cfg.num_tx))()
+    # host NumPy preamble, placed on device via float-plane transfer and
+    # passed as a jit argument (complex device_put is unimplemented on
+    # the tunneled TPU backend; no multi-MB literals in the program)
+    preamble = put_complex(gen_preamble(cfg, cfg.num_tx))
 
-    def one(k):
+    def one(k, pre):
         res, _ = sound_packet(
-            cfg, k, scen, snr_db, preamble=preamble, with_mmse=with_mmse,
+            cfg, k, scen, snr_db, preamble=pre, with_mmse=with_mmse,
             noise_mode=noise_mode, fft_size=fft_size,
         )
         return res
 
-    batched = jax.jit(jax.vmap(one))
+    batched = jax.jit(jax.vmap(one, in_axes=(0, None)))
 
     from mamimo_tpu.utils.numerics import fetch_tree
 
@@ -206,7 +209,7 @@ def generate_dataset(
         # fetch_tree: complex leaves come back as float-plane transfers
         # (complex host<->device copies are unimplemented on the tunneled
         # TPU backend)
-        outs.append(fetch_tree(batched(keys)))
+        outs.append(fetch_tree(batched(keys, preamble)))
 
     def cat(name):
         return np.concatenate([getattr(o, name) for o in outs], axis=0)

@@ -61,8 +61,9 @@ def main():
     # ---- stage 0: micro sanity ----
     t0 = time.time()
     log("stage 0: micro-fit sanity (compiles every program)...")
+    # chunk matches stage 1 so the generation program compiles once
     mini = generate_dataset(cfg, seed=99, num_packets=32, snr_db=120.0,
-                            chunk=16)
+                            chunk=32)
     mini_t = TrainConfig(hidden=tcfg.hidden, batch_size=256, epochs=2,
                          early_stop_patience=50, seed=1)
     res = fit(cfg, mini_t, mini, verbose=False)
