@@ -185,7 +185,8 @@ def _time_fn(fn, arg, iters):
 
 
 def run_bench(batch_packets: int = 64, iters: int = 20,
-              profile_dir: str = "", repo_root: str | None = None) -> dict:
+              profile_dir: str = "", repo_root: str | None = None,
+              print_result: bool = True) -> dict:
     root = repo_root or os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     # persistent compilation cache: remote TPU compiles take minutes
@@ -288,5 +289,6 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             "achieved_tflops_dnn_path": round(achieved_tflops, 2),
         },
     }
-    print(json.dumps(result))
+    if print_result:
+        print(json.dumps(result))
     return result
