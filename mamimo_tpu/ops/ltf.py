@@ -143,29 +143,29 @@ def gen_preamble(cfg: SimConfig, num_sts: int | None = None, v=None):
             sym_np.shape[0] * sym_np.shape[1], sym_np.shape[2]
         ).astype(np.complex64)
 
+    # Precoded (data-phase) preamble — traced path.
     # Full-grid symbols: grid[k, n, j] = ltf[k] * P[j, n] * scale
     grid = jnp.asarray(
         ltf[:, None, None] * P.T[None, :, :] * scale, jnp.complex64
     )  # (F, nsym=num_sts, nsts=num_sts)
 
-    if v is not None:
-        v = jnp.asarray(v, jnp.complex64)  # (C, nsts, nout)
-        # Unit-Frobenius normalization per carrier. NOTE: deliberately
-        # *without* the sqrt(numTx) factor that the data symbols get
-        # (generate_maMIMO_LTF.m:487-491) — the receiver divides the
-        # equalized data symbols by sqrt(numTx) (:590), which lands them
-        # back on the unit constellation only if the preamble precoder is
-        # sqrt(numTx) weaker than the data precoder.
-        fro = jnp.sqrt(
-            jnp.sum(jnp.abs(v) ** 2, axis=(-2, -1), keepdims=True)
-        )
-        norm_v = v / jnp.maximum(fro, 1e-30)
-        carr = np.asarray(cfg.carrier_locations, np.int32)
-        full_v = jnp.zeros(
-            (cfg.fft_length,) + v.shape[1:], jnp.complex64
-        ).at[carr].set(norm_v)
-        # grid (F, S, nsts) x v (F, nsts, nout) -> (F, S, nout)
-        grid = jnp.einsum("fsj,fjo->fso", grid, full_v)
+    v = jnp.asarray(v, jnp.complex64)  # (C, nsts, nout)
+    # Unit-Frobenius normalization per carrier. NOTE: deliberately
+    # *without* the sqrt(numTx) factor that the data symbols get
+    # (generate_maMIMO_LTF.m:487-491) — the receiver divides the
+    # equalized data symbols by sqrt(numTx) (:590), which lands them
+    # back on the unit constellation only if the preamble precoder is
+    # sqrt(numTx) weaker than the data precoder.
+    fro = jnp.sqrt(
+        jnp.sum(jnp.abs(v) ** 2, axis=(-2, -1), keepdims=True)
+    )
+    norm_v = v / jnp.maximum(fro, 1e-30)
+    carr = np.asarray(cfg.carrier_locations, np.int32)
+    full_v = jnp.zeros(
+        (cfg.fft_length,) + v.shape[1:], jnp.complex64
+    ).at[carr].set(norm_v)
+    # grid (F, S, nsts) x v (F, nsts, nout) -> (F, S, nout)
+    grid = jnp.einsum("fsj,fjo->fso", grid, full_v)
 
     # ifftshift + ifft + CP, same path as ofdm_modulate but from full grid
     g = jnp.fft.ifftshift(grid, axes=0)

@@ -47,6 +47,10 @@ class CSIDataset:
     seed: int
     scenario: Scenario
     h_mmse: Optional[np.ndarray] = None   # (B, C, num_tx, num_rx) or None
+    ber: Optional[np.ndarray] = None      # (B,) per-packet LS-CSI BER
+                                          # (usr_data{u,5}, the
+                                          # isOnlyCSI=false leg)
+    user: int = 0                         # which user (multi-user gen)
 
     # ------------------------------------------------------------------
     @property
@@ -171,6 +175,8 @@ def generate_dataset(
     chunk: int = 32,
     fft_size: int = 16384,
     scenario: Scenario | None = None,
+    user: int = 0,
+    with_ber: bool = False,
 ) -> CSIDataset:
     """Generate a sounding dataset on device.
 
@@ -178,29 +184,61 @@ def generate_dataset(
     channel realizations (generate_maMIMO_LTF.m:33-51). Packets are
     produced in jit-compiled vmapped chunks (the `screen` process fanout
     of full_pipeline_maMIMO_DNNEst.sh:14-17 becomes a batch axis).
+
+    Args:
+      user: with cfg.num_users > 1, which user's dataset to emit (the
+        converter's --user flag; per-user channels drawn per the
+        prm.seed_p{u} contract).
+      with_ber: also run the data-transmission leg per packet with the
+        LS CSI and record its BER (the isOnlyCSI=false path,
+        generate_maMIMO_LTF.m:403-640 + usr_data{u,5}).
     """
     from mamimo_tpu.utils.numerics import put_complex
 
     base = jax.random.PRNGKey(seed)
     key_scen, key_pkts = jax.random.split(base)
-    scen = scenario if scenario is not None else make_scenario(cfg, key_scen)
+    if scenario is not None:
+        scen = scenario
+    elif cfg.num_users > 1:
+        from mamimo_tpu.pipeline.multiuser import index_user, make_scenarios
+
+        scen = index_user(make_scenarios(cfg, key_scen), user)
+    else:
+        scen = make_scenario(cfg, key_scen)
     # host NumPy preamble, placed on device via float-plane transfer and
     # passed as a jit argument (complex device_put is unimplemented on
     # the tunneled TPU backend; no multi-MB literals in the program)
     preamble = put_complex(gen_preamble(cfg, cfg.num_tx))
 
     def one(k, pre):
-        res, _ = sound_packet(
-            cfg, k, scen, snr_db, preamble=pre, with_mmse=with_mmse,
+        if cfg.num_users > 1:
+            from mamimo_tpu.pipeline.multiuser import user_packet_key
+
+            k_chan = user_packet_key(k, user)
+        else:
+            k_chan = k
+        res, chan = sound_packet(
+            cfg, k_chan, scen, snr_db, preamble=pre, with_mmse=with_mmse,
             noise_mode=noise_mode, fft_size=fft_size,
         )
-        return res
+        if with_ber:
+            from mamimo_tpu.pipeline.datatx import run_data_transmission
+
+            dt = run_data_transmission(
+                cfg, jax.random.fold_in(k, 7777), scen, chan, res.h_ls,
+                res.noise_db, res.snr_cs, fft_size=2 * fft_size,
+            )
+            ber = dt.ber
+        else:
+            ber = jnp.zeros(())
+        return res, ber
 
     batched = jax.jit(jax.vmap(one, in_axes=(0, None)))
 
     from mamimo_tpu.utils.numerics import fetch_tree
 
     outs = []
+    bers = []
     for start in range(0, num_packets, chunk):
         n = min(chunk, num_packets - start)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
@@ -209,7 +247,9 @@ def generate_dataset(
         # fetch_tree: complex leaves come back as float-plane transfers
         # (complex host<->device copies are unimplemented on the tunneled
         # TPU backend)
-        outs.append(fetch_tree(batched(keys, preamble)))
+        res, ber = fetch_tree(batched(keys, preamble))
+        outs.append(res)
+        bers.append(ber)
 
     def cat(name):
         return np.concatenate([getattr(o, name) for o in outs], axis=0)
@@ -227,4 +267,6 @@ def generate_dataset(
         snr_target=float(snr_db),
         seed=seed,
         scenario=scen,
+        ber=np.concatenate(bers) if with_ber else None,
+        user=user,
     )

@@ -155,3 +155,25 @@ def test_packet_key_reproduces_channel(tiny_ds):
     rel = (np.linalg.norm(np.asarray(res.rx) - tiny_ds.rx[3])
            / np.linalg.norm(tiny_ds.rx[3]))
     assert rel < 2e-2, rel
+
+
+def test_generate_with_ber_and_multiuser():
+    """isOnlyCSI=false leg during generation (usr_data{u,5}) and per-user
+    multi-user dataset selection."""
+    from mamimo_tpu.config import SimConfig
+
+    cfg = SimConfig(num_tx=4, num_rx=2, n_scatterers=8, num_data_symbols=2)
+    ds = generate_dataset(cfg, seed=2, num_packets=2, snr_db=15.0,
+                          chunk=2, fft_size=8192, with_ber=True)
+    assert ds.ber is not None and ds.ber.shape == (2,)
+    assert np.all(ds.ber >= 0) and np.all(ds.ber <= 1)
+
+    mu = SimConfig(num_users=2, num_tx=4, num_rx=2, n_scatterers=8)
+    d0 = generate_dataset(mu, seed=3, num_packets=2, snr_db=10.0,
+                          chunk=2, fft_size=8192, user=0)
+    d1 = generate_dataset(mu, seed=3, num_packets=2, snr_db=10.0,
+                          chunk=2, fft_size=8192, user=1)
+    assert d0.user == 0 and d1.user == 1
+    # users have different placements and channels
+    assert not np.allclose(d0.rx, d1.rx)
+    assert float(d0.scenario.mobile_range) != float(d1.scenario.mobile_range)
