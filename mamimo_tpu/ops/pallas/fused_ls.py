@@ -51,28 +51,27 @@ def _dft_selected(cfg: SimConfig):
 def _kernel(xr_ref, xi_ref, p_ref, ar_ref, ai_ref, or_ref, oi_ref,
             *, nsym: int, g: int, nfft: int):
     # x: (g, nsym, nfft) real/imag planes (CP already dropped outside —
-    # a lane-dim slice at a non-tile-aligned offset is hostile to Mosaic)
-    xr = xr_ref[:]                               # (g, nsym, nfft)
-    xi = xi_ref[:]
-    # despread over symbols first: Y[g, j, t] = Σ_n P[j, n]·x[g, n, t]
-    # flatten (g, t) into the matmul N dimension:
-    xr2 = xr.transpose(1, 0, 2).reshape(nsym, g * nfft)
-    xi2 = xi.transpose(1, 0, 2).reshape(nsym, g * nfft)
+    # a lane-dim slice at a non-tile-aligned offset is hostile to
+    # Mosaic, as are reshapes merging the lane dim: the per-pair work is
+    # a static loop of pure 2D matmuls/transposes instead).
     p = p_ref[:]                                 # (nsym, nsym) ±1
-    yr = jnp.dot(p, xr2, preferred_element_type=jnp.float32)
-    yi = jnp.dot(p, xi2, preferred_element_type=jnp.float32)
-    # rearrange to (nfft, g·nsym) for the DFT-select contraction over t
-    zr = yr.reshape(nsym, g, nfft).transpose(2, 1, 0).reshape(nfft, g * nsym)
-    zi = yi.reshape(nsym, g, nfft).transpose(2, 1, 0).reshape(nfft, g * nsym)
     ar = ar_ref[:]                               # (C, nfft)
     ai = ai_ref[:]
-    er = (jnp.dot(ar, zr, preferred_element_type=jnp.float32)
-          - jnp.dot(ai, zi, preferred_element_type=jnp.float32))
-    ei = (jnp.dot(ar, zi, preferred_element_type=jnp.float32)
-          + jnp.dot(ai, zr, preferred_element_type=jnp.float32))
-    c = ar.shape[0]
-    or_ref[:] = er.reshape(c, g, nsym).transpose(1, 0, 2)
-    oi_ref[:] = ei.reshape(c, g, nsym).transpose(1, 0, 2)
+    for gi in range(g):
+        xr = xr_ref[gi]                          # (nsym, nfft)
+        xi = xi_ref[gi]
+        # despread over symbols: Y[j, t] = Σ_n P[j, n]·x[n, t]
+        yr = jnp.dot(p, xr, preferred_element_type=jnp.float32)
+        yi = jnp.dot(p, xi, preferred_element_type=jnp.float32)
+        # DFT-select over t: est[c, j] = Σ_t A[c, t]·Y[j, t]
+        zr = yr.T                                # (nfft, nsym)
+        zi = yi.T
+        er = (jnp.dot(ar, zr, preferred_element_type=jnp.float32)
+              - jnp.dot(ai, zi, preferred_element_type=jnp.float32))
+        ei = (jnp.dot(ar, zi, preferred_element_type=jnp.float32)
+              + jnp.dot(ai, zr, preferred_element_type=jnp.float32))
+        or_ref[gi] = er                          # (C, nsym)
+        oi_ref[gi] = ei
 
 
 def ls_estimate_pallas(
