@@ -438,6 +438,15 @@ def fit(
                        "best_val": best_val.tolist()},
                 opt_state=opt_state,
             )
+            if improved.any():
+                # keep 'best' durable so an interrupted run still has
+                # its restore-best-weights artifact
+                save_checkpoint(
+                    os.path.join(workdir, "best"), cfg, tcfg,
+                    best_params, best_bn,
+                    extra={"best_val": best_val.tolist(),
+                           "epochs": epoch + 1},
+                )
 
         if (since_best >= tcfg.early_stop_patience).all():
             if verbose:
