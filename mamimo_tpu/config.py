@@ -164,6 +164,9 @@ class TrainConfig:
     bn_momentum: float = 0.99          # Keras BatchNormalization defaults
     bn_eps: float = 1e-3
     seed: int = 0
+    # optimizer steps fused into one dispatch via lax.scan — amortizes
+    # per-call latency on remote/tunneled runtimes (no semantic change)
+    steps_per_call: int = 1
     # input-manipulation options mirrored from the reference CLI
     in_fraction: int = 1               # --inFraction
     decimate: str = "none"             # 'none' | 'max' | 'avg'

@@ -168,6 +168,39 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
         return params, new_bn, opt_state, per_dim
 
     @jax.jit
+    def _train_multi(data, params, bn_state, opt_state, idx2, keys, lr):
+        """lax.scan over steps_per_call optimizer steps — one dispatch
+        amortizes the per-call RPC latency of remote runtimes."""
+
+        def body(carry, inp):
+            params, bn_state, opt_state = carry
+            idx, key = inp
+            x2, pilot, y2 = _gather_batch(cfg, data, idx)
+            if tcfg.method == "default_snr":
+                k_snr, k_noise, k_drop = jax.random.split(key, 3)
+                lev = levels[
+                    jax.random.randint(k_snr, (2,), 0, len(levels))
+                ]
+                npow = avg_sig_pow / (10.0 ** (lev / 10.0))
+                std = jnp.sqrt(npow) / jnp.sqrt(2.0)
+                noise = jax.random.normal(k_noise, x2.shape)
+                x2 = x2 + noise * std[:, None, None]
+            else:
+                k_drop = key
+            (_, (per_dim, new_bn)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, bn_state, x2, pilot, y2, k_drop)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bn, opt_state), per_dim
+
+        (params, bn_state, opt_state), per = jax.lax.scan(
+            body, (params, bn_state, opt_state), (idx2, keys)
+        )
+        return params, bn_state, opt_state, jnp.mean(per, axis=0)
+
+    @jax.jit
     def _eval_step(data, params, bn_state, idx):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
@@ -177,9 +210,14 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
     def train_step(params, bn_state, opt_state, idx, key, lr):
         return _train_step(data, params, bn_state, opt_state, idx, key, lr)
 
+    def train_multi(params, bn_state, opt_state, idx2, keys, lr):
+        return _train_multi(data, params, bn_state, opt_state, idx2, keys,
+                            lr)
+
     def eval_step(params, bn_state, idx):
         return _eval_step(data, params, bn_state, idx)
 
+    train_step.multi = train_multi
     return train_step, eval_step
 
 
@@ -362,18 +400,42 @@ def fit(
     rng_host = np.random.default_rng(tcfg.seed)
     epochs_ran = 0
 
+    # fuse K optimizer steps per dispatch on the standard path
+    kfuse = max(1, int(tcfg.steps_per_call))
+    use_multi = kfuse > 1 and mesh is None and not host_stream
+
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
         perm = rng_host.permutation(len(train_idx))
         ep_loss = np.zeros(2)
-        for s in range(steps_per_epoch):
-            idx = train_idx[perm[s * bs:(s + 1) * bs]]
-            kstep = jax.random.fold_in(k_train, epoch * steps_per_epoch + s)
+        n_done = 0
+        s = 0
+        if use_multi:
+            n_groups = steps_per_epoch // kfuse
+            for gi in range(n_groups):
+                rows = perm[gi * kfuse * bs:(gi + 1) * kfuse * bs]
+                idx2 = jnp.asarray(
+                    train_idx[rows].reshape(kfuse, bs))
+                base = epoch * steps_per_epoch + gi * kfuse
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(k_train, i)
+                )(jnp.arange(base, base + kfuse))
+                params, bn_state, opt_state, per_dim = train_step.multi(
+                    params, bn_state, opt_state, idx2, keys, lr
+                )
+                ep_loss += np.asarray(per_dim) * kfuse
+                n_done += kfuse
+            s = n_groups * kfuse
+        for s2 in range(s, steps_per_epoch):
+            idx = train_idx[perm[s2 * bs:(s2 + 1) * bs]]
+            kstep = jax.random.fold_in(
+                k_train, epoch * steps_per_epoch + s2)
             params, bn_state, opt_state, per_dim = run_train(
                 params, bn_state, opt_state, idx, kstep, lr
             )
             ep_loss += np.asarray(per_dim)
-        ep_loss /= steps_per_epoch
+            n_done += 1
+        ep_loss /= max(n_done, 1)
 
         val_loss = np.zeros(2)
         for s in range(val_steps):

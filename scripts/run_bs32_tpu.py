@@ -55,7 +55,10 @@ def main():
     from mamimo_tpu.train.loop import evaluate_dataset
 
     cfg = SimConfig()
-    tcfg = TrainConfig(epochs=args.epochs, seed=args.seed)
+    # 16 fused optimizer steps per dispatch: amortizes the ~60 ms tunnel
+    # RPC per call (73 s/epoch -> ~10 s/epoch), bitwise-same trajectory
+    tcfg = TrainConfig(epochs=args.epochs, seed=args.seed,
+                       steps_per_call=16)
     os.makedirs(args.workdir, exist_ok=True)
 
     # ---- stage 0: micro sanity ----

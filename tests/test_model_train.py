@@ -177,3 +177,16 @@ def test_generate_with_ber_and_multiuser():
     # users have different placements and channels
     assert not np.allclose(d0.rx, d1.rx)
     assert float(d0.scenario.mobile_range) != float(d1.scenario.mobile_range)
+
+
+def test_steps_per_call_equivalent(tiny_ds):
+    """K fused steps per dispatch produce the same training trajectory
+    as single-step dispatch (same batches, same rng)."""
+    t1 = TTC.replace(epochs=2, steps_per_call=1)
+    tk = TTC.replace(epochs=2, steps_per_call=4)
+    r1 = fit(TINY, t1, tiny_ds, verbose=False)
+    rk = fit(TINY, tk, tiny_ds, verbose=False)
+    np.testing.assert_allclose(r1.history["loss_real"],
+                               rk.history["loss_real"], rtol=1e-4)
+    np.testing.assert_allclose(r1.history["val_loss_imag"],
+                               rk.history["val_loss_imag"], rtol=1e-4)
