@@ -117,3 +117,23 @@ def test_fit_with_mesh(small_cfg):
     assert res.epochs_ran == 2
     assert np.all(np.isfinite(res.best_val))
     assert res.history["loss_real"][1] < res.history["loss_real"][0] * 1.5
+
+
+def test_sharded_all_pairs_inference(small_cfg):
+    """Antenna-pair-sharded inference == unsharded factored inference."""
+    from mamimo_tpu.config import TrainConfig
+    from mamimo_tpu.models.mlp import init_stacked, predict_all_pairs
+    from mamimo_tpu.parallel.sharded import sharded_predict_all_pairs
+
+    cfg = small_cfg
+    tcfg = TrainConfig(hidden=(64, 32))
+    params, bn = init_stacked(jax.random.PRNGKey(0), cfg, tcfg)
+    z = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, cfg.len_ltf, cfg.num_rx, 2))
+    rx = (z[..., 0] + 1j * z[..., 1]).astype(jnp.complex64)
+    ref = predict_all_pairs(cfg, tcfg, params, bn, rx)
+    for n in (2, 4, 8):
+        mesh = make_mesh({"antenna": n}, devices=jax.devices()[:n])
+        out = sharded_predict_all_pairs(cfg, tcfg, mesh, params, bn, rx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, err_msg=f"n={n}")
