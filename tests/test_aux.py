@@ -105,3 +105,23 @@ def test_csi_predictor_wrapper(tiny_ds, tmp_path):
     out = pred.inference(tiny_ds.rx[:1, :, 0], P[:, :1].T)
     assert out.shape == (1, TINY.num_carriers)
     assert out.dtype == np.complex64
+
+
+def test_bs64_scaled_config():
+    """BASELINE config 3: Nt=64, Nr=8 (512 antenna pairs) generates,
+    estimates and runs factored inference at the scaled shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamimo_tpu.models.mlp import init_stacked, predict_all_pairs
+
+    cfg = SimConfig(num_tx=64, num_rx=8, n_scatterers=16)
+    assert cfg.len_ltf == 64 * 320
+    ds = generate_dataset(cfg, seed=4, num_packets=1, snr_db=0.0,
+                          chunk=1, fft_size=32768)
+    assert ds.h_ls.shape == (1, 234, 64, 8)
+    tc = TrainConfig(hidden=(64, 32))
+    params, bn = init_stacked(jax.random.PRNGKey(0), cfg, tc)
+    out = predict_all_pairs(cfg, tc, params, bn, jnp.asarray(ds.rx))
+    assert out.shape == (1, 234, 64, 8)
+    assert np.all(np.isfinite(np.asarray(out).view(np.float32)))
