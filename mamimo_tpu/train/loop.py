@@ -87,11 +87,26 @@ def _split_indices(ds: CSIDataset, tcfg: TrainConfig):
     return all_idx[:n_train], all_idx[n_train:]
 
 
+def _plane_mask(tcfg: TrainConfig):
+    """(2,) update mask implementing --onlyReal/--onlyImag
+    (massiveMIMO_CSI_prediction_DNN.py:167-171): excluded planes keep
+    their initial weights (zero update), included planes train as
+    usual."""
+    return jnp.asarray([1.0 if "real" in tcfg.dims else 0.0,
+                        1.0 if "imag" in tcfg.dims else 0.0])
+
+
+def _mask_updates(updates, mask):
+    return jax.tree.map(
+        lambda u: u * mask.reshape((2,) + (1,) * (u.ndim - 1)), updates)
+
+
 def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
                           opt):
     """Train/eval steps taking materialized (x2, pilot, y2) batches —
     the host-streaming path fed by the native C++ loader."""
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
+    pmask = _plane_mask(tcfg)
 
     def loss_fn(params, bn_state, x2, pilot, y2, rng):
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
@@ -116,7 +131,8 @@ def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
             loss_fn, has_aux=True
         )(params, bn_state, x2, pilot, y2, k_drop)
         updates, opt_state = opt.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
+        updates = _mask_updates(
+            jax.tree.map(lambda u: -lr * u, updates), pmask)
         params = optax.apply_updates(params, updates)
         return params, new_bn, opt_state, per_dim
 
@@ -135,6 +151,7 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
     # captured — closure capture would embed the whole dataset as
     # constants in the executable (and trips the axon TPU backend).
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
+    pmask = _plane_mask(tcfg)
 
     def loss_fn(params, bn_state, x2, pilot, y2, rng):
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
@@ -163,7 +180,8 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
             loss_fn, has_aux=True
         )(params, bn_state, x2, pilot, y2, k_drop)
         updates, opt_state = opt.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
+        updates = _mask_updates(
+            jax.tree.map(lambda u: -lr * u, updates), pmask)
         params = optax.apply_updates(params, updates)
         return params, new_bn, opt_state, per_dim
 
@@ -191,7 +209,8 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
                 loss_fn, has_aux=True
             )(params, bn_state, x2, pilot, y2, k_drop)
             updates, opt_state = opt.update(grads, opt_state, params)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
+            updates = _mask_updates(
+            jax.tree.map(lambda u: -lr * u, updates), pmask)
             params = optax.apply_updates(params, updates)
             return (params, new_bn, opt_state), per_dim
 

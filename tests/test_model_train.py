@@ -190,3 +190,19 @@ def test_steps_per_call_equivalent(tiny_ds):
                                rk.history["loss_real"], rtol=1e-4)
     np.testing.assert_allclose(r1.history["val_loss_imag"],
                                rk.history["val_loss_imag"], rtol=1e-4)
+
+
+def test_only_real_plane_training(tiny_ds):
+    """--onlyReal: the imag plane's weights stay at init."""
+    tc = TTC.replace(epochs=2, dims=("real",))
+    res = fit(TINY, tc, tiny_ds, verbose=False)
+    from mamimo_tpu.models.mlp import init_stacked as _init
+
+    p0, _ = _init(jax.random.PRNGKey(tc.seed), TINY, tc)
+    # note: fit splits its key; recompute the init key the same way
+    k_init, _ = jax.random.split(jax.random.PRNGKey(tc.seed))
+    p0, _ = _init(k_init, TINY, tc)
+    w_res = np.asarray(res.params["dense"][0]["w"])
+    w_ini = np.asarray(p0["dense"][0]["w"])
+    assert np.array_equal(w_res[1], w_ini[1])      # imag untouched
+    assert not np.array_equal(w_res[0], w_ini[0])  # real trained
