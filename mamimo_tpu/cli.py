@@ -50,17 +50,27 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--in-fraction", type=int, default=1)
     p.add_argument("--decimate", default="none",
                    choices=["none", "max", "avg"])
+    p.add_argument("--only-real", action="store_true")
+    p.add_argument("--only-imag", action="store_true")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps fused per dispatch (lax.scan)")
 
 
 def _train_cfg(args):
     from mamimo_tpu.config import TrainConfig
 
+    dims = ("real", "imag")
+    if args.only_real:
+        dims = ("real",)
+    elif args.only_imag:
+        dims = ("imag",)
     return TrainConfig(
         hidden=tuple(args.nn), lr=args.lr, batch_size=args.bs,
         epochs=args.epochs, dropout=args.dropout, use_bn=not args.no_bn,
         method=args.method, val_train_ratio=args.val_train_ratio,
         val_same_train=args.val_same_train, in_fraction=args.in_fraction,
-        decimate=args.decimate, seed=args.seed,
+        decimate=args.decimate, seed=args.seed, dims=dims,
+        steps_per_call=args.steps_per_call,
     )
 
 
