@@ -137,3 +137,40 @@ def test_sharded_all_pairs_inference(small_cfg):
         out = sharded_predict_all_pairs(cfg, tcfg, mesh, params, bn, rx)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, err_msg=f"n={n}")
+
+
+def test_halo_sharded_channel_conv(small_cfg):
+    """Overlap-save halo-exchange convolution == unsharded convolution,
+    and ≈ the exact phase-ramp channel application."""
+    from mamimo_tpu.channel.scattering import (
+        apply_channel, make_scenario, realize_channel,
+    )
+    from mamimo_tpu.parallel.halo import (
+        apply_channel_taps, channel_taps, sharded_apply_channel,
+    )
+    from mamimo_tpu.pipeline.sounding import pad_signal
+    from mamimo_tpu.ops.ltf import gen_preamble
+
+    cfg = small_cfg
+    key = jax.random.PRNGKey(6)
+    scen = make_scenario(cfg, key)
+    chan = realize_channel(cfg, jax.random.fold_in(key, 0), scen)
+    sig = pad_signal(cfg, jnp.asarray(gen_preamble(cfg, cfg.num_tx)))
+    # pad so each of 8 chunks exceeds the 512-tap channel memory
+    n = max(((sig.shape[0] + 7) // 8) * 8, 8 * 520)
+    sig = jnp.concatenate(
+        [sig, jnp.zeros((n - sig.shape[0], cfg.num_tx), sig.dtype)])
+
+    taps = channel_taps(cfg, chan, n_taps=512)
+    ref = apply_channel_taps(sig, taps)
+    for d in (2, 4, 8):
+        mesh = make_mesh({"seq": d}, devices=jax.devices()[:d])
+        out = sharded_apply_channel(cfg, mesh, sig, taps)
+        err = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+               / np.linalg.norm(np.asarray(ref)))
+        assert err < 1e-4, (d, err)
+    # taps vs exact phase-ramp application (band-limitation tolerance)
+    exact = apply_channel(cfg, sig, chan, fft_size=8192)
+    err2 = (np.linalg.norm(np.asarray(ref) - np.asarray(exact))
+            / np.linalg.norm(np.asarray(exact)))
+    assert err2 < 5e-2, err2
