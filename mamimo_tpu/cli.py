@@ -148,9 +148,10 @@ def cmd_test(args) -> None:
         import jax.numpy as jnp
 
         from mamimo_tpu.models.mlp import predict_all_pairs
+        from mamimo_tpu.utils.numerics import put_complex
         from mamimo_tpu.utils.profiling import time_inference
 
-        rx1 = jnp.asarray(ds.rx[:1])
+        rx1 = put_complex(ds.rx[:1])
         fn = jax.jit(lambda r: predict_all_pairs(
             ds.cfg, ck["tcfg"], ck["params"], ck["bn_state"], r))
         stats = time_inference(

@@ -66,7 +66,7 @@ def evaluate_closed_loop(
     predictions: Optional[np.ndarray] = None,
     sources: tuple = ("ls", "lmmse", "dnn", "perfect"),
     max_packets: Optional[int] = None,
-    fft_size: int = 32768,
+    fft_size: int | None = None,
     seed: int = 1234,
 ) -> Dict[str, ClosedLoopMetrics]:
     """Run the closed loop over a test dataset.

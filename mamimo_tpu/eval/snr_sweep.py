@@ -97,6 +97,12 @@ def run_snr_sweep(
         preds = predictor(ds) if predictor is not None else None
         per_pkt = nmse_vs_snr(ds, preds)
         for s in sources:
+            if s not in per_pkt:
+                # e.g. caller-supplied dataset without h_mmse: keep the
+                # series aligned with NaNs rather than KeyError-ing
+                out.nmse[s].append(float("nan"))
+                out.nmse_ci[s].append((float("nan"), float("nan")))
+                continue
             vals = per_pkt[s]
             out.nmse[s].append(float(np.mean(vals)))
             out.nmse_ci[s].append(compute_ci(vals))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,8 +33,8 @@ class CSIPredictor:
         self.params = ck["params"]
         self.bn_state = ck["bn_state"]
         if verbose:
-            n = sum(int(np.prod(l.shape)) for l in
-                    jax.tree.leaves(self.params))  # noqa: F821
+            n = sum(int(np.prod(l.shape))
+                    for l in jax.tree.leaves(self.params))
             print(f"[CSIPredictor] loaded {model_path}: {n} params")
 
     def inference(self, input_batch: np.ndarray, pilot: np.ndarray):

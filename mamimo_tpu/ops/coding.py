@@ -181,7 +181,12 @@ def _qam_tables(m: int):
     # gray-coded PAM: level index -> amplitude
     lev = np.arange(n_pam)
     gray = lev ^ (lev >> 1)
-    amp = 2 * lev - (n_pam - 1)
+    # bit 0...0 (gray level 0) maps to the most POSITIVE amplitude, the
+    # same convention as qpsk_mod (llr>0 => bit 0). NOTE: MATLAB's
+    # qammod integer mapping negates the I axis; symbols are never
+    # exchanged with the reference, only CSI, so internal consistency
+    # (and consistency with the qpsk path) wins.
+    amp = (n_pam - 1) - 2 * lev
     amp_for_gray = np.zeros(n_pam)
     amp_for_gray[gray] = amp                       # gray code g -> amplitude
     scale = np.sqrt(2.0 * (n_pam**2 - 1) / 3.0)    # unit avg power

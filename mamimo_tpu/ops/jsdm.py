@@ -79,11 +79,9 @@ def jsdm_transmit_weights(
         gg = jnp.einsum("csr,ctr->cst", g, jnp.conj(g))     # (C, sts, sts)
         norm = jnp.sqrt(jnp.maximum(
             jnp.real(jnp.einsum("css->cs", gg)), 1e-30))
-        f_u = (jnp.conj(gg) / norm[..., None]).astype(jnp.complex64) \
-            if num_sts > 1 else (
-                jnp.conj(gg) / norm[..., None]).astype(jnp.complex64)
         # for num_sts==1 this reduces to a positive real scalar (power
         # of the effective channel), a valid per-carrier weight
+        f_u = (jnp.conj(gg) / norm[..., None]).astype(jnp.complex64)
         fbb.append(f_u / jnp.maximum(
             jnp.abs(f_u).max(axis=(-2, -1), keepdims=True), 1e-30))
 

@@ -76,10 +76,17 @@ class CSIDataset:
     # ------------------------------------------------------------------
     def packet_key(self, p: int):
         """Regenerate the per-packet channel key (the prm.seed_p contract:
-        seeds persisted with the dataset, generate_maMIMO_LTF.m:33-41)."""
+        seeds persisted with the dataset, generate_maMIMO_LTF.m:33-41).
+        For multi-user experiments the per-user fold used at generation
+        (pipeline.multiuser.user_packet_key) is applied too."""
         base = jax.random.PRNGKey(self.seed)
         _, key_pkts = jax.random.split(base)
-        return jax.random.fold_in(key_pkts, p)
+        k = jax.random.fold_in(key_pkts, p)
+        if self.cfg.num_users > 1:
+            from mamimo_tpu.pipeline.multiuser import user_packet_key
+
+            k = user_packet_key(k, self.user)
+        return k
 
     # ------------------------------------------------------------------
     def extract_packets(self, n: int, reverse: bool = True) -> "CSIDataset":
@@ -95,6 +102,8 @@ class CSIDataset:
         kw = {}
         if self.h_mmse is not None:
             kw["h_mmse"] = self.h_mmse[sl]
+        if self.ber is not None:
+            kw["ber"] = self.ber[sl]
         return dataclasses.replace(
             self,
             rx=self.rx[sl],
@@ -127,7 +136,8 @@ class CSIDataset:
                 json.dumps(
                     {"cfg": json.loads(self.cfg.to_json()),
                      "snr_target": self.snr_target,
-                     "seed": self.seed}
+                     "seed": self.seed,
+                     "user": self.user}
                 ).encode(), dtype=np.uint8),
             **scen,
         )
@@ -162,6 +172,7 @@ class CSIDataset:
             seed=meta["seed"],
             scenario=scen,
             h_mmse=h_mmse,
+            user=int(meta.get("user", 0)),
         )
 
 
@@ -173,7 +184,7 @@ def generate_dataset(
     with_mmse: bool = False,
     noise_mode: str = "snr",
     chunk: int = 32,
-    fft_size: int = 16384,
+    fft_size: int | None = None,
     scenario: Scenario | None = None,
     user: int = 0,
     with_ber: bool = False,

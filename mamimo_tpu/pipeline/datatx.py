@@ -23,8 +23,8 @@ from mamimo_tpu.channel.scattering import (
     ChannelRealization,
     Scenario,
     apply_channel,
+    array_positions,
     steering_vectors,
-    ula_positions,
 )
 from mamimo_tpu.ops.coding import (
     conv_encode,
@@ -51,11 +51,13 @@ class DataTxResult(NamedTuple):
 
 def steering_dictionary(cfg: SimConfig, key):
     """Random-ray steering dictionary At (generate_maMIMO_LTF.m:413-418):
-    nRays random [az; el] directions over the BS ULA."""
+    nRays random [az; el] directions over the actual BS array geometry
+    (steervec(prm.posTxElem, txang))."""
     k1, k2 = jax.random.split(key)
     az = jax.random.uniform(k1, (cfg.n_rays,), minval=-180.0, maxval=180.0)
     el = jax.random.uniform(k2, (cfg.n_rays,), minval=-90.0, maxval=90.0)
-    pos_wl = jnp.asarray(ula_positions(cfg.num_tx, 0.5))  # in wavelengths
+    pos_wl = jnp.asarray(array_positions(
+        cfg.num_tx, cfg.tx_geometry, 0.5, cfg.num_sts))  # in wavelengths
     return steering_vectors(pos_wl, az, el)               # (Nt, nRays)
 
 
@@ -67,7 +69,7 @@ def run_data_transmission(
     csi,
     noise_db,
     snr_cs,
-    fft_size: int = 32768,
+    fft_size: int | None = None,
 ) -> DataTxResult:
     """One packet's closed-loop data transmission with a given CSI source.
 
@@ -79,6 +81,10 @@ def run_data_transmission(
         reuses it, BER_test_maMIMO_LTF.m:254-257,502).
       snr_cs: (num_rx,) sounding SNR for the beamforming-gain metric.
     """
+    if fft_size is None:
+        from mamimo_tpu.config import default_fft_size
+
+        fft_size = default_fft_size(cfg, data_leg=True)
     k_rays, k_bits, k_noise = jax.random.split(key, 3)
     ns = cfg.num_sts
 
@@ -178,7 +184,7 @@ def run_data_transmission_mu(
     csi_users,
     noise_db_users,
     snr_cs_users,
-    fft_size: int = 32768,
+    fft_size: int | None = None,
 ):
     """Multi-user closed loop: JSDM precoding + per-user decode
     (the numUsers>1 branch, generate_maMIMO_LTF.m:427-440,531-640).
@@ -194,6 +200,10 @@ def run_data_transmission_mu(
     from mamimo_tpu.channel.scattering import Scenario
     from mamimo_tpu.ops.jsdm import jsdm_transmit_weights, pack_block_diagonal
 
+    if fft_size is None:
+        from mamimo_tpu.config import default_fft_size
+
+        fft_size = default_fft_size(cfg, data_leg=True)
     u_cnt = cfg.num_users
     ns = cfg.num_sts
     sts_tot = u_cnt * ns

@@ -72,7 +72,7 @@ def sound_packet(
     preamble=None,
     with_mmse: bool = False,
     noise_mode: str = "snr",
-    fft_size: int = 16384,
+    fft_size: int | None = None,
 ) -> tuple[SoundingResult, ChannelRealization]:
     """Simulate one sounding packet.
 
@@ -86,6 +86,10 @@ def sound_packet(
       noise_mode: 'snr' (generate_maMIMO_LTF.m) or 'sinr'
         (generate_maMIMO_LTF_SINR.m fixed noise + interference).
     """
+    if fft_size is None:
+        from mamimo_tpu.config import default_fft_size
+
+        fft_size = default_fft_size(cfg)
     if preamble is None:
         preamble = gen_preamble(cfg, cfg.num_tx)
     k_chan, k_noise, k_perf = jax.random.split(key, 3)

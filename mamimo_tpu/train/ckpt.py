@@ -17,18 +17,6 @@ import numpy as np
 
 from mamimo_tpu.config import SimConfig, TrainConfig
 
-_SEP = "||"
-
-
-def _flatten(tree) -> Dict[str, np.ndarray]:
-    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-    out = {}
-    for path, leaf in flat:
-        key = _SEP.join(jax.tree_util.keystr((p,)) for p in path)
-        out[key] = np.asarray(leaf)
-    return out
-
-
 def save_pytree(path: str, tree) -> None:
     """Save an arbitrary pytree of arrays plus its structure."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)

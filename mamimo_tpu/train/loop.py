@@ -87,6 +87,30 @@ def _split_indices(ds: CSIDataset, tcfg: TrainConfig):
     return all_idx[:n_train], all_idx[n_train:]
 
 
+def _raw_matches(path: str, ds: CSIDataset) -> bool:
+    """True iff an existing raw container holds exactly this dataset
+    (dims + first/last-sample content) — guards against silently
+    training on a stale file left in the workdir."""
+    if not os.path.exists(path):
+        return False
+    try:
+        from mamimo_tpu.data.native_loader import NativeBatchLoader
+
+        ld = NativeBatchLoader(path)
+        ok = ((ld.B, ld.L, ld.R, ld.C, ld.T)
+              == (ds.num_packets, ds.cfg.len_ltf, ds.cfg.num_rx,
+                  ds.cfg.num_carriers, ds.cfg.num_tx))
+        if ok:
+            sig, _ = ld.gather(np.asarray([0, ld.num_samples - 1]))
+            ok = (np.array_equal(sig[0, 0], np.real(ds.rx[0, :, 0]))
+                  and np.array_equal(sig[1, 0],
+                                     np.real(ds.rx[-1, :, -1])))
+        ld.close()
+        return bool(ok)
+    except Exception:
+        return False
+
+
 def _plane_mask(tcfg: TrainConfig):
     """(2,) update mask implementing --onlyReal/--onlyImag
     (massiveMIMO_CSI_prediction_DNN.py:167-171): excluded planes keep
@@ -277,7 +301,7 @@ def fit(
         raw_dir = workdir or tempfile.mkdtemp(prefix="mamimo_raw_")
         os.makedirs(raw_dir, exist_ok=True)
         raw_path = os.path.join(raw_dir, "train.raw")
-        if not os.path.exists(raw_path):
+        if not _raw_matches(raw_path, train_ds):
             train_ds.save_raw(raw_path)
         loader = NativeBatchLoader(raw_path)
         if verbose:
@@ -289,7 +313,7 @@ def fit(
         P_host = train_ds.pilot_matrix().T            # (T, num_tx) rows
         if val_ds is not None:
             vraw = os.path.join(raw_dir, "val.raw")
-            if not os.path.exists(vraw):
+            if not _raw_matches(vraw, val_ds):
                 val_ds.save_raw(vraw)
             val_loader = NativeBatchLoader(vraw)
             train_idx = np.arange(train_ds.num_samples)
@@ -320,6 +344,7 @@ def fit(
 
     start_epoch = 0
     resumed_extra = {}
+    resumed_best = None
     if resume and workdir is not None and os.path.exists(
         os.path.join(workdir, "last.json")
     ):
@@ -335,6 +360,14 @@ def fit(
         start_epoch = int(resumed_extra.get("epoch", 0))
         if verbose:
             print(f"[fit] resuming from epoch {start_epoch}")
+        # restore the true best weights so the final 'best' save cannot
+        # regress to last-epoch params
+        if os.path.exists(os.path.join(workdir, "best.json")):
+            bck = load_checkpoint(os.path.join(workdir, "best"))
+            resumed_best = (jax.device_get(bck["params"]),
+                            jax.device_get(bck["bn_state"]))
+        else:
+            resumed_best = None
 
     if mesh is not None:
         from mamimo_tpu.parallel.sharded import make_sharded_train_step
@@ -409,11 +442,14 @@ def fit(
     lr = float(resumed_extra.get("lr", tcfg.lr))
     # host snapshots: the sharded step donates its inputs, so device
     # references to the initial state die after the first step
-    best_params = jax.device_get(params)
-    best_bn = jax.device_get(bn_state)
-    since_best = np.asarray([0, 0])
-    since_plateau = 0
-    best_sum = np.inf
+    if resumed_best is not None:
+        best_params, best_bn = resumed_best
+    else:
+        best_params = jax.device_get(params)
+        best_bn = jax.device_get(bn_state)
+    since_plateau = int(resumed_extra.get("since_plateau", 0))
+    best_sum = float(resumed_extra.get("best_sum", np.inf))
+    since_best = np.asarray(resumed_extra.get("since_best", [0, 0]))
     history = {"loss_real": [], "loss_imag": [], "val_loss_real": [],
                "val_loss_imag": [], "lr": []}
     rng_host = np.random.default_rng(tcfg.seed)
@@ -516,7 +552,10 @@ def fit(
             save_checkpoint(
                 os.path.join(workdir, "last"), cfg, tcfg, params, bn_state,
                 extra={"epoch": epoch + 1, "lr": lr,
-                       "best_val": best_val.tolist()},
+                       "best_val": best_val.tolist(),
+                       "since_best": since_best.tolist(),
+                       "since_plateau": since_plateau,
+                       "best_sum": best_sum},
                 opt_state=opt_state,
             )
             if improved.any():
