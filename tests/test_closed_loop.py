@@ -76,3 +76,13 @@ def test_run_snr_sweep_smoke(tmp_path):
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "MSE.png"))
     res.save(os.path.join(str(tmp_path), "sweep.json"))
+
+
+def test_sweep_handles_missing_mmse(tmp_path):
+    """Caller-supplied datasets without h_mmse degrade to NaN series."""
+    ds = generate_dataset(CL_CFG, seed=5, num_packets=3, snr_db=0.0,
+                          with_mmse=False, chunk=3, fft_size=8192)
+    res = run_snr_sweep(CL_CFG, snr_levels=[0.0], num_packets=3,
+                        datasets={0.0: ds}, verbose=False)
+    assert np.isnan(res.nmse["lmmse"][0])
+    assert np.isfinite(res.nmse["ls"][0])
