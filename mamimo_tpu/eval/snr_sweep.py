@@ -65,6 +65,7 @@ def run_snr_sweep(
     chunk: int = 16,
     datasets: Optional[Dict[float, CSIDataset]] = None,
     verbose: bool = True,
+    scenario=None,
 ) -> SweepResult:
     """Evaluate estimators across an SNR sweep.
 
@@ -74,6 +75,11 @@ def run_snr_sweep(
       datasets: optional pre-generated {snr: dataset} (else generated
         here with the SAME experiment seed per level, mirroring the
         shared-scenario SNR loop of snr_loop.m).
+      scenario: optional fixed user placement — pass the TRAINING
+        scenario to reproduce the reference's shared-placement contract
+        (its rng(67) fixes mobileRanges/Angles across train and every
+        test set, generate_maMIMO_LTF.m:43-51) while the packet channel
+        seeds still come from `seed`.
     """
     sources = ["ls"] + (["lmmse"] if with_mmse else []) + (
         ["dnn"] if predictor is not None else []
@@ -92,7 +98,7 @@ def run_snr_sweep(
         else:
             ds = generate_dataset(
                 cfg, seed=seed, num_packets=num_packets, snr_db=snr,
-                with_mmse=with_mmse, chunk=chunk,
+                with_mmse=with_mmse, chunk=chunk, scenario=scenario,
             )
         preds = predictor(ds) if predictor is not None else None
         per_pkt = nmse_vs_snr(ds, preds)

@@ -106,11 +106,12 @@ def main():
         return pred
 
     t0 = time.time()
-    log("stage 3: SNR sweep...")
+    log("stage 3: SNR sweep (training placement, fresh channel seeds)...")
     sweep = run_snr_sweep(
         cfg, snr_levels=args.snr, num_packets=args.test_packets,
         seed=args.seed + 1, predictor=predictor,
         closed_loop=args.closed_loop, max_cl_packets=50, chunk=32,
+        scenario=train_ds.scenario,
     )
     outdir = os.path.join(args.workdir, "test_results")
     os.makedirs(outdir, exist_ok=True)
