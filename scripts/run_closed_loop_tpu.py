@@ -44,11 +44,20 @@ def main():
 
     cfg = SimConfig()
     ck = load_checkpoint(os.path.join(args.workdir, "best"))
+    # test on the TRAINING placement (the reference's rng(67) contract)
+    scenario = None
+    train_path = os.path.join(args.workdir, "train.npz")
+    if os.path.exists(train_path):
+        from mamimo_tpu.pipeline.dataset import CSIDataset
+
+        scenario = CSIDataset.load(train_path).scenario
+        log("using the training scenario for test generation")
     out = {"snr": args.snr, "sources": {}}
     for snr in args.snr:
         t0 = time.time()
         ds = generate_dataset(cfg, seed=args.seed, num_packets=args.packets,
-                              snr_db=snr, with_mmse=True, chunk=args.packets)
+                              snr_db=snr, with_mmse=True, chunk=args.packets,
+                              scenario=scenario)
         pred, _ = evaluate_dataset(cfg, ck["tcfg"], ck["params"],
                                    ck["bn_state"], ds, batch_packets=8)
         cl = evaluate_closed_loop(ds, predictions=pred)
