@@ -21,8 +21,10 @@ if __name__ == "__main__":
         batches = [int(os.environ["BENCH_BATCH"])]
     else:
         # per-call tunnel latency dominates small batches; sweep and
-        # keep the best (only the final JSON line is the result)
-        batches = [64, 256]
+        # keep the best (only the final JSON line is the result).
+        # 1024 packets = 131072 estimates/call: the ~2 ms RPC amortizes
+        # below the MXU time of the fused path.
+        batches = [256, 1024]
     import json
     results = []
     for b in batches:

@@ -85,11 +85,52 @@ def _get_baseline(cfg, cache_path: str) -> float:
     return val
 
 
+def _abs_sum(out):
+    """Scalar float32 reduction over every output leaf (value-visible)."""
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(jnp.abs(l)).astype(jnp.float32)
+               for l in jax.tree.leaves(out))
+
+
+def _perturb(rx, s):
+    """Perturb the input by a value-visible (~1e-6 relative) function of
+    the output reduction — chains iterations so calls serialize and a
+    value-hashing result cache never hits."""
+    import jax
+
+    eps = 1e-6 * s * jax.lax.rsqrt(s * s + 1.0)
+    return rx * (1.0 + eps).astype(rx.dtype)
+
+
+def _chained_step(core, extra=()):
+    """Wrap an un-jitted core fn into a single jitted timing step
+
+        step(rx) -> (perturbed rx, scalar)
+
+    so one benchmark iteration costs exactly ONE dispatch (the tunnel
+    RPC is ~2 ms; reduce+chain as separate programs would triple it).
+    ``extra`` (e.g. weight pytrees) stays a jit *argument*, never a
+    closure constant (axon compile rule, see PERF.md)."""
+    import jax
+
+    @jax.jit
+    def _step(ex, rx):
+        out = core(*ex, rx)
+        s = _abs_sum(out)
+        return _perturb(rx, s), s
+
+    return lambda rx: _step(extra, rx)
+
+
 def make_estimation_fn(cfg, tcfg, params, bn_state,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, chained: bool = False):
     """Build the jitted fused estimation step: raw preamble batch ->
     (LS estimate, DNN estimate). With use_pallas=True the LS despread
-    and the MLP run through the fused Pallas kernels."""
+    and the MLP run through the fused Pallas kernels. With chained=True
+    returns a timing step rx -> (rx', scalar) with the reduce+chain
+    fused into the same program (see _chained_step)."""
     import jax
     import jax.numpy as jnp
 
@@ -112,7 +153,6 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
     # the axon TPU backend fails to compile programs that combine complex
     # inputs with large embedded weight literals, and argument-passing is
     # the right design anyway (no giant constants in the executable).
-    @jax.jit
     def _estimate(p, bn, lsc, rx):
         """rx: (B, len_ltf, num_rx) complex64."""
         b = rx.shape[0]
@@ -144,42 +184,32 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
             h_dnn = predict_all_pairs(cfg, tcfg, p, bn, rx)
         return h_ls, h_dnn
 
-    return lambda rx: _estimate(params, bn_state, ls_consts, rx)
+    if chained:
+        return _chained_step(_estimate, (params, bn_state, ls_consts))
+    _jitted = jax.jit(_estimate)
+    return lambda rx: _jitted(params, bn_state, ls_consts, rx)
 
 
-def _time_fn(fn, arg, iters):
+def _time_fn(step, arg, iters):
     """Honest timing on async/remote runtimes. Three defenses:
 
     * a data-dependency chain — each call's input is perturbed by a
       VALUE-VISIBLE (~1e-6 relative) function of the previous output, so
-      calls serialize and a value-hashing result cache never hits;
+      calls serialize and a value-hashing result cache never hits
+      (fused into the step program itself: one dispatch per iteration);
     * a forced float32 *scalar fetch* per timing window — on the
       tunneled TPU backend `block_until_ready` acknowledges before
       execution (independent identical calls "measured" 1 EFLOP/s);
       a host transfer is the only true barrier;
     * warmup includes one forced fetch, so compile time stays out.
+
+    ``step(rx) -> (rx', scalar)`` comes from `_chained_step`.
     """
-    import jax
-    import jax.numpy as jnp
-
-    reduce_ = jax.jit(
-        lambda out: sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(out))
-    )
-
-    @jax.jit
-    def _chain(rx, s):
-        eps = 1e-6 * s * jax.lax.rsqrt(s * s + 1.0)
-        return rx * (1.0 + eps).astype(rx.dtype)
-
-    out = fn(arg)                            # warmup/compile
-    s = reduce_(out)
-    arg = _chain(arg, s)
-    float(reduce_(fn(arg)))                  # forced warm fetch
+    rx, s = step(arg)                        # warmup/compile
+    float(s)                                 # forced warm fetch
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(arg)
-        s = reduce_(out)
-        arg = _chain(arg, s)
+        rx, s = step(rx)
     float(s)                                 # true barrier: scalar fetch
     return (time.perf_counter() - t0) / iters
 
@@ -236,19 +266,23 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     lsc = ls_matmul_constants(cfg)
     timings = {}
     timings["xla_full"] = _time_fn(
-        make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False),
+        make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False,
+                           chained=True),
         rx, iters)
     timings["ls_fft"] = _time_fn(
-        jax.jit(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
-    _lsm = jax.jit(lambda c, r: ls_estimate_matmul(cfg, r, c))
-    timings["ls_matmul"] = _time_fn(lambda r: _lsm(lsc, r), rx, iters)
+        _chained_step(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
+    timings["ls_matmul"] = _time_fn(
+        _chained_step(lambda c, r: ls_estimate_matmul(cfg, r, c), (lsc,)),
+        rx, iters)
     if on_tpu:
         try:
             timings["pallas_full"] = _time_fn(
                 make_estimation_fn(cfg, tcfg, params, bn_state,
-                                   use_pallas=True), rx, iters)
+                                   use_pallas=True, chained=True),
+                rx, iters)
             timings["ls_pallas"] = _time_fn(
-                jax.jit(lambda r: ls_estimate_pallas(cfg, r)), rx, iters)
+                _chained_step(lambda r: ls_estimate_pallas(cfg, r)),
+                rx, iters)
         except Exception as e:                   # pragma: no cover
             print(f"[bench] pallas path unavailable: {e}")
 
