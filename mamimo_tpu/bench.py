@@ -125,12 +125,14 @@ def _chained_step(core, extra=()):
 
 
 def make_estimation_fn(cfg, tcfg, params, bn_state,
-                       use_pallas: bool = False, chained: bool = False):
+                       use_pallas: bool = False, chained: bool = False,
+                       use_bf16: bool = False):
     """Build the jitted fused estimation step: raw preamble batch ->
     (LS estimate, DNN estimate). With use_pallas=True the LS despread
-    and the MLP run through the fused Pallas kernels. With chained=True
-    returns a timing step rx -> (rx', scalar) with the reduce+chain
-    fused into the same program (see _chained_step)."""
+    and the MLP run through the fused Pallas kernels. With use_bf16=True
+    the DNN matmuls run in bfloat16 (LS stays float32). With
+    chained=True returns a timing step rx -> (rx', scalar) with the
+    reduce+chain fused into the same program (see _chained_step)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,7 +183,9 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
             h_ls = ls_estimate_matmul(cfg, rx, lsc)
             # factored all-pairs inference (layer-1 signal matmul shared
             # across the num_tx pilot columns)
-            h_dnn = predict_all_pairs(cfg, tcfg, p, bn, rx)
+            h_dnn = predict_all_pairs(
+                cfg, tcfg, p, bn, rx,
+                dtype=jnp.bfloat16 if use_bf16 else None)
         return h_ls, h_dnn
 
     if chained:
@@ -269,6 +273,10 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
         make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False,
                            chained=True),
         rx, iters)
+    timings["xla_full_bf16"] = _time_fn(
+        make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False,
+                           chained=True, use_bf16=True),
+        rx, iters)
     timings["ls_fft"] = _time_fn(
         _chained_step(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
     timings["ls_matmul"] = _time_fn(
@@ -289,7 +297,8 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     if profile_dir:
         jax.profiler.stop_trace()
 
-    full_keys = [k for k in ("pallas_full", "xla_full") if k in timings]
+    full_keys = [k for k in ("pallas_full", "xla_full", "xla_full_bf16")
+                 if k in timings]
     best_full = min(full_keys, key=lambda k: timings[k])
     est_per_s = n_est / timings[best_full]
 

@@ -171,7 +171,7 @@ def stacked_apply(tcfg, params, bn_state, x2, *, train=False, rng=None):
 
 
 def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
-                      rx):
+                      rx, dtype=None):
     """Batch inference over ALL (tx, rx) pairs of received preambles —
     the test/deployment case (batch = nTX·nRX,
     massiveMIMO_CSI_prediction_DNN.py:337-339) — with the first layer
@@ -190,6 +190,10 @@ def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
 
     Args:
       rx: (B, len_ltf, num_rx) complex64.
+      dtype: optional compute dtype for the MLP matmuls (e.g.
+        jnp.bfloat16 — halves the HBM activation/weight traffic on the
+        MXU inference path; BN folds into a per-layer affine computed in
+        float32). Output is always complex64.
 
     Returns:
       (B, num_carriers, num_tx, num_rx) complex64 DNN CSI.
@@ -204,25 +208,33 @@ def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
     P = pilot_p_matrix(ntx)                      # (ntx, ntx)
     sig2 = jnp.transpose(rx, (0, 2, 1)).reshape(b * nrx, L)
     planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])   # (2, S, L)
+    cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
+
+    def bn_affine(pp, bb, i):
+        # eval-mode BN is affine; fold to (a, c) in float32, then cast
+        inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
+        a = inv * pp["bn"][i]["scale"]
+        c = pp["bn"][i]["bias"] - bb["mean"][i] * a
+        return cast(a), cast(c)
 
     def one(pp, bb, x):
-        w1 = pp["dense"][0]["w"]
-        sig_proj = x @ w1[:L]                    # (S, H) — the big matmul
-        pil_proj = P.T @ w1[L:]                  # (ntx, H)
+        w1 = cast(pp["dense"][0]["w"])
+        sig_proj = cast(x) @ w1[:L]              # (S, H) — the big matmul
+        pil_proj = cast(P.T) @ w1[L:]            # (ntx, H)
         h = sig_proj[:, None, :] + pil_proj[None, :, :] \
-            + pp["dense"][0]["b"]
+            + cast(pp["dense"][0]["b"])
         h = jax.nn.relu(h)
         if pp["bn"]:
-            inv = jax.lax.rsqrt(bb["var"][0] + tcfg.bn_eps)
-            h = (h - bb["mean"][0]) * inv
-            h = h * pp["bn"][0]["scale"] + pp["bn"][0]["bias"]
+            a, c = bn_affine(pp, bb, 0)
+            h = h * a + c
         for i in range(1, len(pp["dense"])):
-            h = jax.nn.relu(h @ pp["dense"][i]["w"] + pp["dense"][i]["b"])
+            h = jax.nn.relu(h @ cast(pp["dense"][i]["w"])
+                            + cast(pp["dense"][i]["b"]))
             if pp["bn"]:
-                inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
-                h = (h - bb["mean"][i]) * inv
-                h = h * pp["bn"][i]["scale"] + pp["bn"][i]["bias"]
-        return h @ pp["out"]["w"] + pp["out"]["b"]   # (S, ntx, C)
+                a, c = bn_affine(pp, bb, i)
+                h = h * a + c
+        y = h @ cast(pp["out"]["w"]) + cast(pp["out"]["b"])  # (S, ntx, C)
+        return y.astype(jnp.float32)
 
     y2 = jax.vmap(one)(params, bn_state, planes)     # (2, S, ntx, C)
     y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)

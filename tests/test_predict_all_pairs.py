@@ -44,3 +44,22 @@ def test_predict_all_pairs_matches_materialized():
     ref = jnp.transpose(ref, (0, 3, 2, 1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5)
+
+
+def test_predict_all_pairs_bf16_close_to_f32():
+    """The bfloat16 inference path tracks float32 within bf16 rounding
+    (relative error bounded on the output's scale)."""
+    cfg = SimConfig(num_tx=8, num_rx=2)
+    tcfg = TrainConfig(hidden=(64, 32))
+    key = jax.random.PRNGKey(1)
+    params, bn = init_stacked(key, cfg, tcfg)
+    bn = jax.tree.map(lambda l: l * 1.3 + 0.1, bn)
+    z = jax.random.normal(key, (3, cfg.len_ltf, cfg.num_rx, 2))
+    rx = (z[..., 0] + 1j * z[..., 1]).astype(jnp.complex64)
+
+    f32 = np.asarray(predict_all_pairs(cfg, tcfg, params, bn, rx))
+    b16 = np.asarray(predict_all_pairs(cfg, tcfg, params, bn, rx,
+                                       dtype=jnp.bfloat16))
+    assert b16.dtype == np.complex64
+    rel = (np.linalg.norm(b16 - f32) / np.linalg.norm(f32))
+    assert rel < 5e-2, rel
