@@ -1,4 +1,11 @@
-"""Scenario geometry, scattering MIMO channel and receiver noise chain."""
+"""Scenario geometry, scattering/CDL MIMO channels and receiver noise
+chain."""
+
+from mamimo_tpu.channel.cdl import (  # noqa: F401
+    CDLProfile,
+    get_profile,
+    realize_cdl,
+)
 
 from mamimo_tpu.channel.scattering import (  # noqa: F401
     Scenario,

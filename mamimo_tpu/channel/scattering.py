@@ -139,6 +139,22 @@ def make_scenario(cfg: SimConfig, key) -> Scenario:
 
 
 def realize_channel(cfg: SimConfig, key, scen: Scenario) -> ChannelRealization:
+    """Draw one packet's channel under ``cfg.channel_model``.
+
+    Dispatches (statically — cfg is a hashable jit-static dataclass)
+    between the one-ring scattering model and the CDL clustered delay
+    line; every consumer (sounding, closed-loop regeneration, halo conv)
+    sees the same ``ChannelRealization`` interface.
+    """
+    if cfg.channel_model != "scattering":
+        from mamimo_tpu.channel.cdl import realize_cdl
+
+        return realize_cdl(cfg, key, scen)
+    return realize_scattering(cfg, key, scen)
+
+
+def realize_scattering(cfg: SimConfig, key,
+                       scen: Scenario) -> ChannelRealization:
     """Draw one packet's scatterers + gains and form path responses."""
     kp, kg = jax.random.split(key)
     ns = cfg.n_scatterers

@@ -27,13 +27,19 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-rx", type=int, default=4)
     p.add_argument("--scatterers", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--channel-model", default="scattering",
+                   choices=["scattering", "cdl_nlos", "cdl_los"])
+    p.add_argument("--cdl-delay-spread", type=float, default=100e-9,
+                   help="CDL delay-spread scaling in seconds")
 
 
 def _sim_cfg(args):
     from mamimo_tpu.config import SimConfig
 
     return SimConfig(num_tx=args.num_tx, num_rx=args.num_rx,
-                     n_scatterers=args.scatterers)
+                     n_scatterers=args.scatterers,
+                     channel_model=args.channel_model,
+                     cdl_delay_spread=args.cdl_delay_spread)
 
 
 def _add_train_args(p: argparse.ArgumentParser) -> None:

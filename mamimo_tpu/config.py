@@ -55,6 +55,15 @@ class SimConfig:
     tx_geometry: str = "ula"      # 'ula' | 'ura'
     rx_geometry: str = "ula"
 
+    # --- channel model (channel/scattering.py vs channel/cdl.py) ---
+    # 'scattering' = the reference's one-ring scatterer model
+    # (phased.ScatteringMIMOChannel); 'cdl_nlos'/'cdl_los' = clustered
+    # delay line in the 3GPP TR 38.901 §7.7.1 structure (BASELINE.json
+    # "CDL-style channel realizations").
+    channel_model: str = "scattering"
+    cdl_delay_spread: float = 100e-9   # CDL delay-spread scaling [s]
+    cdl_k_factor_db: float = 9.0       # Ricean K for the 'cdl_los' profile
+
     # --- OFDM grid (generate_maMIMO_LTF.m:96-102) ---
     fft_length: int = 256
     cp_length: int = 64
