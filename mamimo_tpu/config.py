@@ -176,6 +176,7 @@ class TrainConfig:
     # optimizer steps fused into one dispatch via lax.scan — amortizes
     # per-call latency on remote/tunneled runtimes (no semantic change)
     steps_per_call: int = 1
+    ckpt_backend: str = "npz"          # 'npz' | 'orbax' (train/ckpt.py)
     # input-manipulation options mirrored from the reference CLI
     in_fraction: int = 1               # --inFraction
     decimate: str = "none"             # 'none' | 'max' | 'avg'

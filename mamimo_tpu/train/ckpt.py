@@ -1,9 +1,18 @@
-"""Checkpoint save/load — flattened-pytree npz + config JSONs.
+"""Checkpoint save/load — flattened-pytree npz + config JSONs, with an
+optional orbax backend for sharded/multi-host state.
 
 Exceeds the reference's best-weights-only HDF5 snapshots
 (``massiveMIMO_CSI_prediction_DNN.py:319``): full train-state
 checkpoints (params, BN stats, optimizer state, epoch counters) enable
 mid-training resume, which the reference lacks (SURVEY.md §5).
+
+Backends:
+  * ``npz`` (default) — single-host flattened pytree, zero deps, what
+    the long TPU runs use.
+  * ``orbax`` — `orbax.checkpoint.PyTreeCheckpointer`; arrays sharded
+    over a mesh are written/restored distributed-aware, which is the
+    right backend once training spans hosts (SURVEY.md §5
+    "orbax-style checkpointing with resume"). Auto-detected on load.
 """
 
 from __future__ import annotations
@@ -37,16 +46,30 @@ def load_pytree(path: str, like):
 
 def save_checkpoint(prefix: str, cfg: SimConfig, tcfg: TrainConfig,
                     params, bn_state, extra: Dict[str, Any] | None = None,
-                    opt_state=None) -> None:
-    """Write <prefix>.npz (+ optional <prefix>_opt.npz) and <prefix>.json."""
+                    opt_state=None, backend: str = "npz") -> None:
+    """Write <prefix>.npz (+ optional <prefix>_opt.npz) and <prefix>.json,
+    or an orbax checkpoint directory <prefix>.orbax."""
     os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
-    save_pytree(prefix + ".npz", {"params": params, "bn_state": bn_state})
-    if opt_state is not None:
-        save_pytree(prefix + "_opt.npz", opt_state)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        state = {"params": params, "bn_state": bn_state}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(prefix) + ".orbax", state, force=True)
+    elif backend == "npz":
+        save_pytree(prefix + ".npz",
+                    {"params": params, "bn_state": bn_state})
+        if opt_state is not None:
+            save_pytree(prefix + "_opt.npz", opt_state)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     meta = {
         "cfg": json.loads(cfg.to_json()),
         "tcfg": json.loads(tcfg.to_json()),
         "extra": extra or {},
+        "backend": backend,
     }
     with open(prefix + ".json", "w") as f:
         json.dump(meta, f, indent=2)
@@ -62,17 +85,32 @@ def load_checkpoint(prefix: str, like_opt_state=None) -> Dict[str, Any]:
         meta = json.load(f)
     cfg = SimConfig(**meta["cfg"])
     tcfg = TrainConfig.from_json(json.dumps(meta["tcfg"]))
+    out = {
+        "cfg": cfg,
+        "tcfg": tcfg,
+        "extra": meta.get("extra", {}),
+    }
+    if meta.get("backend") == "orbax" or (
+            not os.path.exists(prefix + ".npz")
+            and os.path.isdir(prefix + ".orbax")):
+        import orbax.checkpoint as ocp
+
+        state = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(prefix) + ".orbax")
+        out["params"] = state["params"]
+        out["bn_state"] = state["bn_state"]
+        if like_opt_state is not None and "opt_state" in state:
+            out["opt_state"] = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(like_opt_state),
+                jax.tree_util.tree_leaves(state["opt_state"]),
+            )
+        return out
     from mamimo_tpu.models.mlp import init_stacked
 
     params0, bn0 = init_stacked(jax.random.PRNGKey(0), cfg, tcfg)
     state = load_pytree(prefix + ".npz", {"params": params0, "bn_state": bn0})
-    out = {
-        "cfg": cfg,
-        "tcfg": tcfg,
-        "params": state["params"],
-        "bn_state": state["bn_state"],
-        "extra": meta.get("extra", {}),
-    }
+    out["params"] = state["params"]
+    out["bn_state"] = state["bn_state"]
     if like_opt_state is not None and os.path.exists(prefix + "_opt.npz"):
         out["opt_state"] = load_pytree(prefix + "_opt.npz", like_opt_state)
     return out

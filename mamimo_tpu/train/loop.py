@@ -556,7 +556,7 @@ def fit(
                        "since_best": since_best.tolist(),
                        "since_plateau": since_plateau,
                        "best_sum": best_sum},
-                opt_state=opt_state,
+                opt_state=opt_state, backend=tcfg.ckpt_backend,
             )
             if improved.any():
                 # keep 'best' durable so an interrupted run still has
@@ -566,6 +566,7 @@ def fit(
                     best_params, best_bn,
                     extra={"best_val": best_val.tolist(),
                            "epochs": epoch + 1},
+                    backend=tcfg.ckpt_backend,
                 )
 
         if (since_best >= tcfg.early_stop_patience).all():
@@ -581,6 +582,7 @@ def fit(
         save_checkpoint(
             os.path.join(workdir, "best"), cfg, tcfg, best_params, best_bn,
             extra={"best_val": best_val.tolist(), "epochs": epochs_ran},
+            backend=tcfg.ckpt_backend,
         )
         with open(os.path.join(workdir, "history.json"), "w") as f:
             json.dump(history, f)
