@@ -243,7 +243,10 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     from mamimo_tpu.ops.pallas import ls_estimate_pallas
     from mamimo_tpu.pipeline.sounding import estimate_from_rx
 
-    cfg = SimConfig()
+    # BS32 by default; BENCH_NT/BENCH_NR select the scaled-array config
+    # (e.g. 64/8 = BASELINE.json config 3, 512 antenna pairs)
+    cfg = SimConfig(num_tx=int(os.environ.get("BENCH_NT", "32")),
+                    num_rx=int(os.environ.get("BENCH_NR", "4")))
     tcfg = TrainConfig()
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() == "tpu"
@@ -313,7 +316,10 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     )
     achieved_tflops = dnn_flops / timings[best_full] / 1e12
 
-    baseline = _get_baseline(cfg, os.path.join(root, ".bench_baseline.json"))
+    bl_name = (".bench_baseline.json"
+               if (cfg.num_tx, cfg.num_rx) == (32, 4)
+               else f".bench_baseline_{cfg.num_tx}x{cfg.num_rx}.json")
+    baseline = _get_baseline(cfg, os.path.join(root, bl_name))
 
     result = {
         "metric": "channel_estimates_per_s_per_chip",
