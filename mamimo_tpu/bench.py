@@ -72,16 +72,17 @@ def _get_baseline(cfg, cache_path: str) -> float:
     if os.path.exists(cache_path):
         with open(cache_path) as f:
             return json.load(f)["cpu_estimates_per_s"]
+    batch = cfg.num_tx * cfg.num_rx   # the reference's test batch (:337-339)
     try:
-        val = _torch_cpu_baseline(cfg)
+        val = _torch_cpu_baseline(cfg, batch=batch)
     except Exception as e:                        # pragma: no cover
         print(f"[bench] baseline measurement failed ({e}); using 1.0")
         val = 1.0
     with open(cache_path, "w") as f:
         json.dump({"cpu_estimates_per_s": val,
                    "note": "torch-CPU reference-equivalent DNN inference, "
-                           "batch 128 (massiveMIMO_CSI_prediction_DNN.py:"
-                           "441-475 harness equivalent)"}, f)
+                           f"batch {batch} (massiveMIMO_CSI_prediction_DNN"
+                           ".py:441-475 harness equivalent)"}, f)
     return val
 
 
@@ -330,6 +331,7 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             "device": str(dev),
             "batch_packets": batch_packets,
             "best_path": best_full,
+            "precision": "bf16" if best_full == "xla_full_bf16" else "f32",
             "per_path_estimates_per_s": {
                 k: round(n_est / v, 1) for k, v in timings.items()
             },

@@ -170,6 +170,52 @@ def stacked_apply(tcfg, params, bn_state, x2, *, train=False, rng=None):
     return jax.vmap(one)(params, bn_state, x2, rngs)
 
 
+def factored_plane_apply(tcfg: TrainConfig, pp, bb, x, pil_rows,
+                         dtype=None):
+    """One plane's factored eval-mode MLP: the (len, H) signal matmul is
+    shared across the pilot heads (exact algebraic restructuring of the
+    concatenated-input forward pass — see predict_all_pairs).
+
+    Args:
+      pp / bb: one plane's params / BN state.
+      x: (S, L) real signal plane.
+      pil_rows: (n_heads, num_tx) pilot rows (P[:, t] per head; the
+        Sylvester Hadamard P is symmetric so rows == columns).
+      dtype: optional matmul compute dtype (e.g. bfloat16); eval-mode BN
+        folds to a float32-computed affine either way.
+
+    Returns:
+      (S, n_heads, num_carriers) float32.
+    """
+    cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
+    L = x.shape[-1]
+
+    def bn_affine(i):
+        # eval-mode BN is affine; fold to (a, c) in float32, then cast
+        inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
+        a = inv * pp["bn"][i]["scale"]
+        c = pp["bn"][i]["bias"] - bb["mean"][i] * a
+        return cast(a), cast(c)
+
+    w1 = cast(pp["dense"][0]["w"])
+    sig_proj = cast(x) @ w1[:L]                  # (S, H) — the big matmul
+    pil_proj = cast(pil_rows) @ w1[L:]           # (n_heads, H)
+    h = sig_proj[:, None, :] + pil_proj[None, :, :] \
+        + cast(pp["dense"][0]["b"])
+    h = jax.nn.relu(h)
+    if pp["bn"]:
+        a, c = bn_affine(0)
+        h = h * a + c
+    for i in range(1, len(pp["dense"])):
+        h = jax.nn.relu(h @ cast(pp["dense"][i]["w"])
+                        + cast(pp["dense"][i]["b"]))
+        if pp["bn"]:
+            a, c = bn_affine(i)
+            h = h * a + c
+    y = h @ cast(pp["out"]["w"]) + cast(pp["out"]["b"])
+    return y.astype(jnp.float32)
+
+
 def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
                       rx, dtype=None):
     """Batch inference over ALL (tx, rx) pairs of received preambles —
@@ -208,35 +254,11 @@ def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
     P = pilot_p_matrix(ntx)                      # (ntx, ntx)
     sig2 = jnp.transpose(rx, (0, 2, 1)).reshape(b * nrx, L)
     planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])   # (2, S, L)
-    cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
 
-    def bn_affine(pp, bb, i):
-        # eval-mode BN is affine; fold to (a, c) in float32, then cast
-        inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
-        a = inv * pp["bn"][i]["scale"]
-        c = pp["bn"][i]["bias"] - bb["mean"][i] * a
-        return cast(a), cast(c)
-
-    def one(pp, bb, x):
-        w1 = cast(pp["dense"][0]["w"])
-        sig_proj = cast(x) @ w1[:L]              # (S, H) — the big matmul
-        pil_proj = cast(P.T) @ w1[L:]            # (ntx, H)
-        h = sig_proj[:, None, :] + pil_proj[None, :, :] \
-            + cast(pp["dense"][0]["b"])
-        h = jax.nn.relu(h)
-        if pp["bn"]:
-            a, c = bn_affine(pp, bb, 0)
-            h = h * a + c
-        for i in range(1, len(pp["dense"])):
-            h = jax.nn.relu(h @ cast(pp["dense"][i]["w"])
-                            + cast(pp["dense"][i]["b"]))
-            if pp["bn"]:
-                a, c = bn_affine(pp, bb, i)
-                h = h * a + c
-        y = h @ cast(pp["out"]["w"]) + cast(pp["out"]["b"])  # (S, ntx, C)
-        return y.astype(jnp.float32)
-
-    y2 = jax.vmap(one)(params, bn_state, planes)     # (2, S, ntx, C)
+    y2 = jax.vmap(
+        lambda pp, bb, x: factored_plane_apply(tcfg, pp, bb, x, P.T,
+                                               dtype=dtype)
+    )(params, bn_state, planes)                      # (2, S, ntx, C)
     y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
     y = y.reshape(b, nrx, ntx, cfg.num_carriers)
     return jnp.transpose(y, (0, 3, 2, 1))

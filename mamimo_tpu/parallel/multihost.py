@@ -42,14 +42,15 @@ def init(coordinator_address: str | None = None,
         os.environ.get("JAX_PROCESS_ID", "0"))
     if num_processes <= 1:
         return
-    # On the CPU fake backend (tests, SURVEY.md §4) cross-process
-    # collectives need an explicit transport; gloo is the in-tree one.
-    platforms = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in platforms:
-        try:
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        except Exception:  # pragma: no cover - older/newer jax naming
-            pass
+    # Cross-process collectives on the CPU backend need an explicit
+    # transport; gloo is the in-tree one. Set it unconditionally — the
+    # option only affects CPU client creation (TPU/ICI collectives are
+    # untouched), and gating on JAX_PLATFORMS would miss the cases where
+    # jax auto-selects cpu or the platform was pinned via jax.config.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older/newer jax naming
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

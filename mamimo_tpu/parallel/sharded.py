@@ -82,7 +82,7 @@ def sharded_ls_estimate(cfg: SimConfig, mesh: Mesh, rx, axis: str = "seq"):
 
 
 def sharded_predict_all_pairs(cfg, tcfg, mesh: Mesh, params, bn_state, rx,
-                              axis: str = "antenna"):
+                              axis: str = "antenna", dtype=None):
     """All-pairs DNN inference with the Tx-pilot dimension sharded.
 
     The Nt·Nr antenna pairs are the natural "expert-like" axis
@@ -98,9 +98,7 @@ def sharded_predict_all_pairs(cfg, tcfg, mesh: Mesh, params, bn_state, rx,
     Returns:
       (B, C, num_tx, num_rx) complex64, sharded on the num_tx dim.
     """
-    import numpy as np
-
-    from mamimo_tpu.models.mlp import predict_all_pairs
+    from mamimo_tpu.models.mlp import factored_plane_apply
     from mamimo_tpu.ops.ltf import _hadamard_np
 
     n_shard = mesh.shape[axis]
@@ -113,31 +111,15 @@ def sharded_predict_all_pairs(cfg, tcfg, mesh: Mesh, params, bn_state, rx,
         i = jax.lax.axis_index(axis)
         p_loc = jax.lax.dynamic_slice_in_dim(P_full, i * loc, loc, axis=0)
 
-        # inline factored inference with the local pilot rows
+        # factored inference with this device's pilot rows (heads)
         b, L, nrx = rx_rep.shape
         sig2 = jnp.transpose(rx_rep, (0, 2, 1)).reshape(b * nrx, L)
         planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])
 
-        def one(pp, bb, x):
-            w1 = pp["dense"][0]["w"]
-            h = x @ w1[:L]
-            h = h[:, None, :] + (p_loc @ w1[L:])[None, :, :] \
-                + pp["dense"][0]["b"]
-            h = jax.nn.relu(h)
-            if pp["bn"]:
-                inv = jax.lax.rsqrt(bb["var"][0] + tcfg.bn_eps)
-                h = (h - bb["mean"][0]) * inv
-                h = h * pp["bn"][0]["scale"] + pp["bn"][0]["bias"]
-            for li in range(1, len(pp["dense"])):
-                h = jax.nn.relu(h @ pp["dense"][li]["w"]
-                                + pp["dense"][li]["b"])
-                if pp["bn"]:
-                    inv = jax.lax.rsqrt(bb["var"][li] + tcfg.bn_eps)
-                    h = (h - bb["mean"][li]) * inv
-                    h = h * pp["bn"][li]["scale"] + pp["bn"][li]["bias"]
-            return h @ pp["out"]["w"] + pp["out"]["b"]
-
-        y2 = jax.vmap(one)(params, bn_state, planes)  # (2, S, loc, C)
+        y2 = jax.vmap(
+            lambda pp, bb, x: factored_plane_apply(tcfg, pp, bb, x, p_loc,
+                                                   dtype=dtype)
+        )(params, bn_state, planes)                   # (2, S, loc, C)
         y = jax.lax.complex(y2[0], y2[1])
         y = y.reshape(b, nrx, loc, cfg.num_carriers)
         return jnp.transpose(y, (0, 3, 2, 1))         # (b, C, loc, nrx)

@@ -70,6 +70,7 @@ def save_checkpoint(prefix: str, cfg: SimConfig, tcfg: TrainConfig,
         "tcfg": json.loads(tcfg.to_json()),
         "extra": extra or {},
         "backend": backend,
+        "has_opt": opt_state is not None,
     }
     with open(prefix + ".json", "w") as f:
         json.dump(meta, f, indent=2)
@@ -90,24 +91,36 @@ def load_checkpoint(prefix: str, like_opt_state=None) -> Dict[str, Any]:
         "tcfg": tcfg,
         "extra": meta.get("extra", {}),
     }
+    from mamimo_tpu.models.mlp import init_stacked
+
+    params0, bn0 = init_stacked(jax.random.PRNGKey(0), cfg, tcfg)
     if meta.get("backend") == "orbax" or (
             not os.path.exists(prefix + ".npz")
             and os.path.isdir(prefix + ".orbax")):
         import orbax.checkpoint as ocp
 
+        # Restore into an explicit item template: (a) NamedTuple states
+        # (optax) keep their field structure — a raw dict restore would
+        # re-order leaves alphabetically and silently permute them on
+        # tree_unflatten; (b) restore_type=np.ndarray makes the restore
+        # topology-independent (no sharding reconstruction — callers
+        # re-place arrays on whatever mesh they run on).
+        item = {"params": params0, "bn_state": bn0}
+        has_opt = meta.get("has_opt", False)
+        if like_opt_state is not None and has_opt:
+            item["opt_state"] = like_opt_state
+        ra = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item)
+        kwargs = {"item": item, "restore_args": ra}
+        if has_opt and "opt_state" not in item:
+            kwargs["transforms"] = {}    # partial restore: skip opt_state
         state = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(prefix) + ".orbax")
+            os.path.abspath(prefix) + ".orbax", **kwargs)
         out["params"] = state["params"]
         out["bn_state"] = state["bn_state"]
-        if like_opt_state is not None and "opt_state" in state:
-            out["opt_state"] = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(like_opt_state),
-                jax.tree_util.tree_leaves(state["opt_state"]),
-            )
+        if "opt_state" in item:
+            out["opt_state"] = state["opt_state"]
         return out
-    from mamimo_tpu.models.mlp import init_stacked
-
-    params0, bn0 = init_stacked(jax.random.PRNGKey(0), cfg, tcfg)
     state = load_pytree(prefix + ".npz", {"params": params0, "bn_state": bn0})
     out["params"] = state["params"]
     out["bn_state"] = state["bn_state"]

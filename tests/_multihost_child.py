@@ -92,8 +92,7 @@ params, bn, opt_state, loss = step_fn(params, bn, opt_state, x2, pilot,
 loss = np.asarray(jax.device_get(loss))
 assert np.all(np.isfinite(loss)), loss
 
-# replicated-param checksum must agree across processes
-w = params["dense"][0]["w"]
+# replicated-param checksum (all leaves) must agree across processes
 rep = jax.jit(lambda p: sum(jnp.sum(jnp.abs(l))
                             for l in jax.tree.leaves(p)),
               out_shardings=NamedSharding(mesh, P()))(params)

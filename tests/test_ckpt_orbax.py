@@ -73,6 +73,37 @@ def test_fit_resume_with_orbax(small_cfg, tmp_path):
     assert np.all(np.isfinite(res.best_val))
 
 
+def test_orbax_namedtuple_field_order(small_cfg, tmp_path):
+    """Optimizer states restore by FIELD NAME, not alphabetical leaf
+    order (a raw-dict restore + tree_unflatten would silently permute a
+    NamedTuple whose declaration order isn't alphabetical)."""
+    import typing
+
+    class Weird(typing.NamedTuple):
+        zeta: jnp.ndarray    # declared before 'alpha' but sorts after
+        alpha: jnp.ndarray
+
+    cfg = small_cfg
+    tcfg = TrainConfig(hidden=(32, 32))
+    params, bn = init_stacked(jax.random.PRNGKey(0), cfg, tcfg)
+    opt_state = Weird(zeta=jnp.arange(2.0), alpha=jnp.arange(3.0) + 10.0)
+    prefix = os.path.join(tmp_path, "weird")
+    save_checkpoint(prefix, cfg, tcfg, params, bn, opt_state=opt_state,
+                    backend="orbax")
+    ck = load_checkpoint(prefix, like_opt_state=Weird(
+        zeta=jnp.zeros(2), alpha=jnp.zeros(3)))
+    np.testing.assert_array_equal(np.asarray(ck["opt_state"].zeta),
+                                  np.arange(2.0))
+    np.testing.assert_array_equal(np.asarray(ck["opt_state"].alpha),
+                                  np.arange(3.0) + 10.0)
+    # partial load (no opt template) still restores params
+    ck2 = load_checkpoint(prefix)
+    assert "opt_state" not in ck2
+    for a, b in zip(jax.tree.leaves(ck2["params"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unknown_backend_raises(small_cfg, tmp_path):
     cfg = small_cfg
     tcfg = TrainConfig(hidden=(32, 32))

@@ -23,7 +23,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed():
+def _run_once():
+    # NOTE: the port probe is inherently racy (probe socket closes
+    # before the coordinator binds); the caller retries once.
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -44,6 +46,13 @@ def test_two_process_distributed():
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_distributed():
+    procs, outs = _run_once()
+    if any(p.returncode != 0 for p in procs):
+        procs, outs = _run_once()          # retry once (port race)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
     oks = [[ln for ln in out.splitlines() if ln.startswith("MH_OK")]
