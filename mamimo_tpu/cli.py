@@ -60,6 +60,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--only-imag", action="store_true")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="optimizer steps fused per dispatch (lax.scan)")
+    p.add_argument("--ckpt-backend", default="npz",
+                   choices=["npz", "orbax"])
 
 
 def _train_cfg(args):
@@ -77,6 +79,7 @@ def _train_cfg(args):
         val_same_train=args.val_same_train, in_fraction=args.in_fraction,
         decimate=args.decimate, seed=args.seed, dims=dims,
         steps_per_call=args.steps_per_call,
+        ckpt_backend=args.ckpt_backend,
     )
 
 
