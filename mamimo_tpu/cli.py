@@ -226,11 +226,13 @@ def cmd_pipeline(args) -> None:
     res = fit(cfg, tcfg, train_ds, workdir=args.workdir)
 
     predictor = _make_predictor(args.workdir)
+    # test on the TRAINING placement with fresh channel/noise seeds —
+    # the reference's shared-scenario rng(67) contract (SURVEY.md §4)
     sweep = run_snr_sweep(
         cfg, snr_levels=args.snr, num_packets=args.packets,
         seed=args.seed + 1, predictor=predictor,
         closed_loop=args.closed_loop, max_cl_packets=args.cl_packets,
-        chunk=args.chunk,
+        chunk=args.chunk, scenario=train_ds.scenario,
     )
     outdir = os.path.join(args.workdir, "test_results")
     os.makedirs(outdir, exist_ok=True)

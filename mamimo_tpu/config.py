@@ -122,9 +122,12 @@ class SimConfig:
 
     @cached_property
     def num_frm_bits(self) -> int:
-        # generate_maMIMO_LTF.m:110-111
+        # numSTS·(numDataSymbols·numCarriers·bitsPerSubCarrier·codeRate)
+        # − numTails (generate_maMIMO_LTF.m:110-111) — the num_sts factor
+        # matters for multi-stream closed-loop configs
         return (
-            self.num_data_symbols * self.num_carriers * self.bits_per_subcarrier
+            self.num_sts * self.num_data_symbols * self.num_carriers
+            * self.bits_per_subcarrier
         ) // self.code_rate_den - self.num_tails
 
     @cached_property

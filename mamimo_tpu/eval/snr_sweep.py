@@ -118,10 +118,17 @@ def run_snr_sweep(
                 sources=tuple(sources) + ("perfect",),
                 max_packets=max_cl_packets,
             )
-            for s, m in cl.items():
-                out.ber[s].append(float(np.mean(m.ber)))
-                out.evm[s].append(float(np.mean(m.evm)))
-                out.bf_gain[s].append(float(np.mean(m.bf_gain)))
+            # NaN-pad skipped sources so every series stays aligned
+            # with snr_levels (same policy as the NMSE branch above)
+            for s in out.ber:
+                if s in cl:
+                    out.ber[s].append(float(np.mean(cl[s].ber)))
+                    out.evm[s].append(float(np.mean(cl[s].evm)))
+                    out.bf_gain[s].append(float(np.mean(cl[s].bf_gain)))
+                else:
+                    out.ber[s].append(float("nan"))
+                    out.evm[s].append(float("nan"))
+                    out.bf_gain[s].append(float("nan"))
         if verbose:
             msg = f"[sweep] SNR {snr:+.0f} dB: " + "  ".join(
                 f"{s} NMSE {10*np.log10(out.nmse[s][-1]+1e-30):.2f} dB"

@@ -39,24 +39,34 @@ def ls_estimate(cfg: SimConfig, rx_grid, num_sts: int | None = None):
     return hd / denom[:, None, None]
 
 
-def ls_matmul_constants(cfg: SimConfig):
-    """Trace-time constants for the matmul-form LS estimator:
-    (A, P) with A[c, t] = exp(-2πj·b_c·t/N)/(nltf·ltf_c) the scaled
-    selected-bin DFT matrix and P the pilot mapping. Pass these as jit
-    *arguments* (they are ~0.5 MB; keeping executables literal-free)."""
+def dft_selected_np(cfg: SimConfig):
+    """Scaled selected-bin DFT matrix A[c, t] = exp(-2πj·b_c·t/N) /
+    (nltf·ltf_c), with b_c the signed bin of data carrier c (fftshift
+    folded in). Pure NumPy on purpose: runs at trace time and must stay
+    a compile-time constant. Shared by the matmul-form LS estimator and
+    the fused Pallas kernel (one source of truth for the scaling)."""
     import numpy as np
 
-    from mamimo_tpu.ops.ltf import _hadamard_np, _ltf_np
+    from mamimo_tpu.ops.ltf import _ltf_np
 
     n = cfg.fft_length
     bins = np.asarray(cfg.carrier_locations, np.float64) - n // 2
     t = np.arange(n)
     a = np.exp(-2j * np.pi * bins[:, None] * t[None, :] / n)
     ltf = _ltf_np(n)[np.asarray(cfg.carrier_locations)].astype(np.float64)
-    a = (a / (cfg.num_tx * ltf)[:, None]).astype(np.complex64)
-    p = _hadamard_np(cfg.num_tx)
+    return (a / (cfg.num_tx * ltf)[:, None]).astype(np.complex64)  # (C, N)
+
+
+def ls_matmul_constants(cfg: SimConfig):
+    """Trace-time constants for the matmul-form LS estimator:
+    (A, P) with A the scaled selected-bin DFT matrix (dft_selected_np)
+    and P the pilot mapping. Pass these as jit *arguments* (they are
+    ~0.5 MB; keeping executables literal-free)."""
+    from mamimo_tpu.ops.ltf import _hadamard_np
     from mamimo_tpu.utils.numerics import put_complex
-    return put_complex(a), jnp.asarray(p)
+
+    return (put_complex(dft_selected_np(cfg)),
+            jnp.asarray(_hadamard_np(cfg.num_tx)))
 
 
 def ls_estimate_matmul(cfg: SimConfig, rx, consts=None):

@@ -28,24 +28,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mamimo_tpu.config import SimConfig
-from mamimo_tpu.ops.ltf import _hadamard_np, _ltf_np
+from mamimo_tpu.ops.ltf import _hadamard_np
 
 
 def _dft_selected(cfg: SimConfig):
-    """Scaled selected-DFT matrix A[c, t] = exp(-2πi·b_c·t/N)/(nltf·ltf_c)
-    with b_c the signed bin of data carrier c (fftshift folded in).
+    """Scaled selected-DFT matrix — single source of truth lives in
+    ops/estimate.py (shared with the matmul-form LS estimator)."""
+    from mamimo_tpu.ops.estimate import dft_selected_np
 
-    Pure NumPy on purpose: this runs at trace time and must stay a
-    compile-time constant (jnp constants created inside jit are tracers
-    in current JAX).
-    """
-    n = cfg.fft_length
-    bins = np.asarray(cfg.carrier_locations, np.float64) - n // 2
-    t = np.arange(n)
-    a = np.exp(-2j * np.pi * bins[:, None] * t[None, :] / n)
-    ltf = _ltf_np(n)[np.asarray(cfg.carrier_locations)].astype(np.float64)
-    a = a / (cfg.num_tx * ltf)[:, None]
-    return a.astype(np.complex64)              # (C, N)
+    return dft_selected_np(cfg)
 
 
 def _kernel(xr_ref, xi_ref, p_ref, ar_ref, ai_ref, or_ref, oi_ref,

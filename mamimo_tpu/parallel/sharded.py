@@ -236,11 +236,16 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
             loss_fn, has_aux=True
         )(params, bn_state, x2, pilot, y2, key)
         updates, opt_state = opt.update(grads, opt_state, params)
-        from mamimo_tpu.train.loop import _mask_updates, _plane_mask
+        from mamimo_tpu.train.loop import (
+            _mask_bn,
+            _mask_updates,
+            _plane_mask,
+        )
         updates = _mask_updates(
             jax.tree.map(lambda u: -lr * u, updates),
             _plane_mask(tcfg))
         params = optax.apply_updates(params, updates)
+        new_bn = _mask_bn(new_bn, bn_state, _plane_mask(tcfg))
         return params, new_bn, opt_state, per_dim
 
     return init_fn, step_fn

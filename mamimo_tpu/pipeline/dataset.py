@@ -233,11 +233,16 @@ def generate_dataset(
             noise_mode=noise_mode, fft_size=fft_size,
         )
         if with_ber:
+            from mamimo_tpu.config import default_fft_size
             from mamimo_tpu.pipeline.datatx import run_data_transmission
 
+            # the data leg carries preamble + data frame: resolve the
+            # default here (2*None would crash; None means "auto")
+            data_fft = (default_fft_size(cfg, data_leg=True)
+                        if fft_size is None else 2 * fft_size)
             dt = run_data_transmission(
                 cfg, jax.random.fold_in(k, 7777), scen, chan, res.h_ls,
-                res.noise_db, res.snr_cs, fft_size=2 * fft_size,
+                res.noise_db, res.snr_cs, fft_size=data_fft,
             )
             ber = dt.ber
         else:

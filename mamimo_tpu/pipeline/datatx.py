@@ -131,11 +131,28 @@ def run_data_transmission(
     faded = apply_channel(cfg, sig_pad, chan, fft_size=fft_size)
     faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros :]
 
-    # --- receiver (:538-575) ---
-    gain_db = scen.sp_loss_db
+    # --- receiver (:538-640, shared with the multi-user loop) ---
+    return _receive_and_decode(
+        cfg, k_noise, faded, gain_db=scen.sp_loss_db, noise_db=noise_db,
+        chan_delay=chan.chan_delay, n_pre_sym=ns, own=slice(0, ns),
+        bits=bits, snr_cs=snr_cs,
+    )
+
+
+def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
+                        noise_db, chan_delay, n_pre_sym, own, bits,
+                        snr_cs) -> DataTxResult:
+    """Receiver chain shared by the single- and multi-user paths
+    (generate_maMIMO_LTF.m:538-640): AWGN at the sounding noise power,
+    subcarrier scaling, sync, demod, preamble LS, ZF-equalize the own
+    stream slice, CSI-weighted approx-LLR demod, Viterbi, metrics.
+
+    Args:
+      n_pre_sym: mapped-preamble symbols (numSTS total across users).
+      own: slice of the equalized streams belonging to this user.
+    """
     sig_pwr = jnp.mean(jnp.abs(faded) ** 2, axis=0)
-    sig_db = 10.0 * jnp.log10(sig_pwr)
-    snr_dt = sig_db - noise_db + gain_db
+    snr_dt = 10.0 * jnp.log10(sig_pwr) - noise_db + gain_db
     n_var_time = 10.0 ** (noise_db / 10.0)
     z = jax.random.normal(k_noise, faded.shape + (2,))
     noise = (z[..., 0] + 1j * z[..., 1]) * jnp.sqrt(n_var_time / 2.0)
@@ -144,13 +161,13 @@ def run_data_transmission(
     # subcarrier-domain noise variance for the LLRs (:567-569)
     n_var = n_var_time * (cfg.used_sc / cfg.fft_length**2) / cfg.num_tx
 
-    y_sync = sync_slice(cfg, y, chan.chan_delay)
-    nsym_tot = ns + cfg.num_data_symbols
-    rx_grid, _ = ofdm_demodulate(cfg, y_sync, nsym=nsym_tot)
+    y_sync = sync_slice(cfg, y, chan_delay)
+    rx_grid, _ = ofdm_demodulate(
+        cfg, y_sync, nsym=n_pre_sym + cfg.num_data_symbols)
 
-    # channel estimate from the mapped preamble (first ns symbols, :578)
-    h_eff = ls_estimate(cfg, rx_grid[:, :ns, :], ns)   # (C, ns, Nr)
-    rx_eq, csi_w = mimo_equalize(rx_grid[:, ns:, :], h_eff)
+    # channel estimate from the mapped preamble (:578)
+    h_eff = ls_estimate(cfg, rx_grid[:, :n_pre_sym, :], n_pre_sym)
+    rx_eq, csi_w = mimo_equalize(rx_grid[:, n_pre_sym:, :], h_eff[:, own, :])
 
     # flatten carrier-fastest (MATLAB rxEq(:) column-major, :590)
     rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
@@ -170,10 +187,12 @@ def run_data_transmission(
            * csi_k[:, None]).reshape(-1)
 
     decoded = viterbi_decode(llr, cfg.num_frm_bits, terminated=True)
-    ber = bit_error_rate(bits, decoded)
-    evm = evm_rms(rx_syms, ref_const)
-    bf_gain = jnp.mean(snr_dt) - jnp.mean(snr_cs)
-    return DataTxResult(ber=ber, evm=evm, snr_dt=snr_dt, bf_gain=bf_gain)
+    return DataTxResult(
+        ber=bit_error_rate(bits, decoded),
+        evm=evm_rms(rx_syms, ref_const),
+        snr_dt=snr_dt,
+        bf_gain=jnp.mean(snr_dt) - jnp.mean(snr_cs),
+    )
 
 
 def run_data_transmission_mu(
@@ -221,7 +240,13 @@ def run_data_transmission_mu(
             jax.random.fold_in(k_bits, u), 0.5, (cfg.num_frm_bits,)
         ).astype(jnp.int32)
         bits_u.append(bits)
-        syms = qpsk_mod(conv_encode(bits, terminated=True))
+        coded = conv_encode(bits, terminated=True)
+        if cfg.bits_per_subcarrier == 2:
+            syms = qpsk_mod(coded)
+        else:
+            from mamimo_tpu.ops.coding import qam_mod
+
+            syms = qam_mod(coded, cfg.mod_order)
         gu = jnp.moveaxis(
             syms.reshape(cfg.num_data_symbols, cfg.num_carriers, ns), 0, 1)
         grid = grid.at[:, :, u * ns:(u + 1) * ns].set(gu)
@@ -249,35 +274,11 @@ def run_data_transmission_mu(
         faded = apply_channel(cfg, sig_pad, chan_u, fft_size=fft_size)
         faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros:]
 
-        gain_db = scen_u.sp_loss_db
-        noise_db = noise_db_users[u]
-        sig_pwr = jnp.mean(jnp.abs(faded) ** 2, axis=0)
-        snr_dt = 10.0 * jnp.log10(sig_pwr) - noise_db + gain_db
-        n_var_time = 10.0 ** (noise_db / 10.0)
-        z = jax.random.normal(jax.random.fold_in(k_noise, u),
-                              faded.shape + (2,))
-        noise = (z[..., 0] + 1j * z[..., 1]) * jnp.sqrt(n_var_time / 2.0)
-        y = 10.0 ** (gain_db / 20.0) * faded + noise.astype(jnp.complex64)
-        y = y * (math.sqrt(cfg.used_sc) / cfg.fft_length)
-        n_var = n_var_time * (cfg.used_sc / cfg.fft_length**2) / cfg.num_tx
-
-        y_sync = sync_slice(cfg, y, chan_u.chan_delay)
-        rx_grid, _ = ofdm_demodulate(
-            cfg, y_sync, nsym=sts_tot + cfg.num_data_symbols)
-        h_eff = ls_estimate(cfg, rx_grid[:, :sts_tot, :], sts_tot)
-        own = slice(u * ns, (u + 1) * ns)
-        rx_eq, csi_w = mimo_equalize(rx_grid[:, sts_tot:, :],
-                                     h_eff[:, own, :])
-        rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
-            cfg.num_tx)
-        llr = qpsk_demod_llr(rx_syms, n_var)
-        csi_k = jnp.tile(csi_w[:, 0], cfg.num_data_symbols)
-        llr = (llr.reshape(-1, 2) * csi_k[:, None]).reshape(-1)
-        decoded = viterbi_decode(llr, cfg.num_frm_bits, terminated=True)
-        results.append(DataTxResult(
-            ber=bit_error_rate(bits_u[u], decoded),
-            evm=evm_rms(rx_syms, qpsk_constellation()),
-            snr_dt=snr_dt,
-            bf_gain=jnp.mean(snr_dt) - jnp.mean(snr_cs_users[u]),
+        results.append(_receive_and_decode(
+            cfg, jax.random.fold_in(k_noise, u), faded,
+            gain_db=scen_u.sp_loss_db, noise_db=noise_db_users[u],
+            chan_delay=chan_u.chan_delay, n_pre_sym=sts_tot,
+            own=slice(u * ns, (u + 1) * ns), bits=bits_u[u],
+            snr_cs=snr_cs_users[u],
         ))
     return results

@@ -80,6 +80,9 @@ def _split_indices(ds: CSIDataset, tcfg: TrainConfig):
     per_pkt = ds.cfg.num_tx * ds.cfg.num_rx
     n_pkts = ds.num_packets
     n_val_pkts = int(np.floor(n_pkts * tcfg.val_train_ratio))
+    if tcfg.val_train_ratio > 0 and n_val_pkts == 0 and n_pkts >= 2:
+        n_val_pkts = 1   # tiny sets: an empty val split would yield NaN
+        # val losses and best-weights would never update
     n_train = (n_pkts - n_val_pkts) * per_pkt
     all_idx = np.arange(ds.num_samples)
     if tcfg.val_same_train:
@@ -125,6 +128,14 @@ def _mask_updates(updates, mask):
         lambda u: u * mask.reshape((2,) + (1,) * (u.ndim - 1)), updates)
 
 
+def _mask_bn(new_bn, old_bn, mask):
+    """Excluded planes (--onlyReal/--onlyImag) keep their BN running
+    statistics too — the reference's second model is never touched."""
+    return jax.tree.map(
+        lambda n, o: o + (n - o) * mask.reshape((2,) + (1,) * (n.ndim - 1)),
+        new_bn, old_bn)
+
+
 def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
                           opt):
     """Train/eval steps taking materialized (x2, pilot, y2) batches —
@@ -158,6 +169,7 @@ def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
         updates = _mask_updates(
             jax.tree.map(lambda u: -lr * u, updates), pmask)
         params = optax.apply_updates(params, updates)
+        new_bn = _mask_bn(new_bn, bn_state, pmask)
         return params, new_bn, opt_state, per_dim
 
     @jax.jit
@@ -207,6 +219,7 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
         updates = _mask_updates(
             jax.tree.map(lambda u: -lr * u, updates), pmask)
         params = optax.apply_updates(params, updates)
+        new_bn = _mask_bn(new_bn, bn_state, pmask)
         return params, new_bn, opt_state, per_dim
 
     @jax.jit
@@ -236,6 +249,7 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
             updates = _mask_updates(
             jax.tree.map(lambda u: -lr * u, updates), pmask)
             params = optax.apply_updates(params, updates)
+            new_bn = _mask_bn(new_bn, bn_state, pmask)
             return (params, new_bn, opt_state), per_dim
 
         (params, bn_state, opt_state), per = jax.lax.scan(
@@ -452,7 +466,20 @@ def fit(
     since_best = np.asarray(resumed_extra.get("since_best", [0, 0]))
     history = {"loss_real": [], "loss_imag": [], "val_loss_real": [],
                "val_loss_imag": [], "lr": []}
+    if start_epoch > 0 and workdir is not None:
+        # keep the pre-resume loss curves (the history artifact must
+        # cover the whole run, not just the resumed tail)
+        hist_path = os.path.join(workdir, "history.json")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                prev = json.load(f)
+            for k in history:
+                history[k] = list(prev.get(k, []))[:start_epoch]
     rng_host = np.random.default_rng(tcfg.seed)
+    # fast-forward the shuffle stream past the epochs already run so a
+    # resumed run continues the uninterrupted run's batch sequence
+    for _ in range(start_epoch):
+        rng_host.permutation(len(train_idx))
     epochs_ran = 0
 
     # fuse K optimizer steps per dispatch on the standard path
@@ -558,6 +585,10 @@ def fit(
                        "best_sum": best_sum},
                 opt_state=opt_state, backend=tcfg.ckpt_backend,
             )
+            # keep the loss-curve artifact resumable too (read back by
+            # the resume path; final write below also makes the plots)
+            with open(os.path.join(workdir, "history.json"), "w") as f:
+                json.dump(history, f)
             if improved.any():
                 # keep 'best' durable so an interrupted run still has
                 # its restore-best-weights artifact

@@ -35,7 +35,9 @@ def test_resume_continues(tiny_ds, tmp_path):
     r2 = fit(TINY, TTC.replace(epochs=4), tiny_ds, workdir=wd,
              verbose=False, resume=True)
     assert r2.epochs_ran == 4
-    assert len(r2.history["loss_real"]) == 2   # only the new epochs
+    # full run history: the pre-resume epochs are preserved from the
+    # workdir's history.json, then the resumed epochs append
+    assert len(r2.history["loss_real"]) == 4
 
 
 def test_ura_positions():
