@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -76,7 +77,8 @@ def _get_baseline(cfg, cache_path: str) -> float:
     try:
         val = _torch_cpu_baseline(cfg, batch=batch)
     except Exception as e:                        # pragma: no cover
-        print(f"[bench] baseline measurement failed ({e}); using 1.0")
+        print(f"[bench] baseline measurement failed ({e}); using 1.0",
+              file=sys.stderr)
         val = 1.0
     with open(cache_path, "w") as f:
         json.dump({"cpu_estimates_per_s": val,
@@ -296,7 +298,9 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
                 _chained_step(lambda r: ls_estimate_pallas(cfg, r)),
                 rx, iters)
         except Exception as e:                   # pragma: no cover
-            print(f"[bench] pallas path unavailable: {e}")
+            # stderr: stdout carries exactly one JSON line for the driver
+            print(f"[bench] pallas path unavailable: {e}",
+                  file=sys.stderr)
 
     if profile_dir:
         jax.profiler.stop_trace()
