@@ -18,8 +18,8 @@ def test_chained_step_perturbs_and_reduces():
     step = _chained_step(core, (jnp.float32(2.0),))
     rx0 = jnp.ones((4, 8), jnp.float32)
     rx1, s1 = step(rx0)
-    # reduction is the abs-sum of the output
-    np.testing.assert_allclose(float(s1), 2.0 * rx0.size, rtol=1e-6)
+    # reduction is the squared-magnitude sum of the output
+    np.testing.assert_allclose(float(s1), 4.0 * rx0.size, rtol=1e-6)
     # perturbation is value-visible but tiny
     d = np.abs(np.asarray(rx1) - np.asarray(rx0))
     assert d.max() > 0.0
@@ -46,4 +46,5 @@ def test_chained_complex_input():
     z = jnp.full((3, 3), 1 + 1j, jnp.complex64)
     z1, s = step(z)
     assert z1.dtype == jnp.complex64
-    np.testing.assert_allclose(float(s), 18.0, rtol=1e-5)
+    # core output is |1+1j|^2 = 2.0 per element; reduction sums squares
+    np.testing.assert_allclose(float(s), 36.0, rtol=1e-5)
