@@ -206,6 +206,35 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
     return lambda rx: _jitted(params, bn_state, ls_consts, rx)
 
 
+def make_estimation_fn_rxmajor(cfg, tcfg, params, bn_state,
+                               use_bf16: bool = False):
+    """The rx-major (antenna-major) fused estimation step: rx arrives
+    (B, num_rx, len_ltf) and both outputs stay (B, num_rx, num_tx, C) —
+    the framework's TPU-native layout. Removes every big-tensor
+    transpose and the CP-drop strided slice from the hot path (the CP
+    drop is zero columns folded into the DFT matrix). Returns a chained
+    timing step (see _chained_step)."""
+    import jax.numpy as jnp
+
+    from mamimo_tpu.models.mlp import predict_all_pairs_rxmajor
+    from mamimo_tpu.ops.estimate import (
+        ls_estimate_rxmajor,
+        ls_matmul_constants_rxmajor,
+    )
+
+    ls_consts = ls_matmul_constants_rxmajor(cfg)
+
+    def _estimate(p, bn, lsc, rx):
+        """rx: (B, num_rx, len_ltf) complex64."""
+        h_ls = ls_estimate_rxmajor(cfg, rx, lsc)
+        h_dnn = predict_all_pairs_rxmajor(
+            cfg, tcfg, p, bn, rx,
+            dtype=jnp.bfloat16 if use_bf16 else None)
+        return h_ls, h_dnn
+
+    return _chained_step(_estimate, (params, bn_state, ls_consts))
+
+
 def _time_fn(step, arg, iters):
     """Honest timing on async/remote runtimes. Three defenses:
 
@@ -292,6 +321,21 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
         make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False,
                            chained=True, use_bf16=True),
         rx, iters)
+
+    # rx-major layout path: same estimates, antenna-major memory format
+    # (B, R, L) — no big-tensor transposes, CP drop folded into the DFT
+    @jax.jit
+    def _to_rxmajor(r):
+        return jnp.transpose(r, (0, 2, 1))
+
+    rx_major = _to_rxmajor(rx)
+    timings["xla_rxmajor"] = _time_fn(
+        make_estimation_fn_rxmajor(cfg, tcfg, params, bn_state),
+        rx_major, iters)
+    timings["xla_rxmajor_bf16"] = _time_fn(
+        make_estimation_fn_rxmajor(cfg, tcfg, params, bn_state,
+                                   use_bf16=True),
+        rx_major, iters)
     timings["ls_fft"] = _time_fn(
         _chained_step(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
     timings["ls_matmul"] = _time_fn(
@@ -314,7 +358,8 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     if profile_dir:
         jax.profiler.stop_trace()
 
-    full_keys = [k for k in ("pallas_full", "xla_full", "xla_full_bf16")
+    full_keys = [k for k in ("pallas_full", "xla_full", "xla_full_bf16",
+                             "xla_rxmajor", "xla_rxmajor_bf16")
                  if k in timings]
     best_full = min(full_keys, key=lambda k: timings[k])
     est_per_s = n_est / timings[best_full]
@@ -351,7 +396,7 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             "device": str(dev),
             "batch_packets": batch_packets,
             "best_path": best_full,
-            "precision": "bf16" if best_full == "xla_full_bf16" else "f32",
+            "precision": "bf16" if best_full.endswith("bf16") else "f32",
             "per_path_estimates_per_s": {
                 k: round(n_est / v, 1) for k, v in timings.items()
             },

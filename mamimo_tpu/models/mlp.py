@@ -264,6 +264,40 @@ def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
     return jnp.transpose(y, (0, 3, 2, 1))
 
 
+def predict_all_pairs_rxmajor(cfg: SimConfig, tcfg: TrainConfig, params,
+                              bn_state, rx, dtype=None):
+    """predict_all_pairs in the TPU-native rx-major layout: rx arrives
+    antenna-major (B, num_rx, len_ltf) — the (B·num_rx, len_ltf) signal
+    matrix for the factored layer-1 matmul is then a free reshape (no
+    transpose of the hundreds-of-MB preamble batch), and the output
+    stays antenna-major (no output transpose).
+
+    Args:
+      rx: (B, num_rx, len_ltf) complex64.
+
+    Returns:
+      (B, num_rx, num_tx, num_carriers) complex64 DNN CSI;
+      transpose(0, 3, 2, 1) recovers the predict_all_pairs convention.
+    """
+    from mamimo_tpu.ops.ltf import pilot_p_matrix
+
+    assert tcfg.in_fraction == 1 and tcfg.decimate == "none", (
+        "factored inference requires the default input pipeline"
+    )
+    b, nrx, L = rx.shape
+    ntx = cfg.num_tx
+    P = pilot_p_matrix(ntx)                      # (ntx, ntx)
+    sig2 = rx.reshape(b * nrx, L)                # free: contiguous
+    planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])   # (2, S, L)
+
+    y2 = jax.vmap(
+        lambda pp, bb, x: factored_plane_apply(tcfg, pp, bb, x, P.T,
+                                               dtype=dtype)
+    )(params, bn_state, planes)                      # (2, S, ntx, C)
+    y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
+    return y.reshape(b, nrx, ntx, cfg.num_carriers)
+
+
 def predict_complex(cfg, tcfg, params, bn_state, sig, pilot):
     """Deployment-style complex prediction (inference.py:24-32): run the
     real plane through model[0] and the imaginary plane through model[1],

@@ -94,6 +94,62 @@ def ls_estimate_matmul(cfg: SimConfig, rx, consts=None):
     return est
 
 
+def dft_selected_padded_np(cfg: SimConfig):
+    """dft_selected_np extended to the full CP+FFT symbol length with
+    zero columns over the CP samples — folds the CP drop into the matmul
+    so the hot path never slices (strided-copies) the rx batch. The
+    extra zero columns cost ~25% more LS MACs but remove a full
+    HBM round-trip of the preamble tensor (the LS path is layout-bound,
+    not FLOP-bound — see PERF.md)."""
+    import numpy as np
+
+    a = dft_selected_np(cfg)                         # (C, N)
+    out = np.zeros((a.shape[0], cfg.sym_len), np.complex64)
+    out[:, cfg.cp_length:] = a
+    return out
+
+
+def ls_matmul_constants_rxmajor(cfg: SimConfig):
+    """Trace-time constants (A_padded, P) for ls_estimate_rxmajor."""
+    from mamimo_tpu.ops.ltf import _hadamard_np
+    from mamimo_tpu.utils.numerics import put_complex
+
+    return (put_complex(dft_selected_padded_np(cfg)),
+            jnp.asarray(_hadamard_np(cfg.num_tx)))
+
+
+def ls_estimate_rxmajor(cfg: SimConfig, rx, consts=None):
+    """LS estimation in the TPU-native rx-major layout.
+
+    Identical math to ls_estimate_matmul, restructured for layout:
+
+    * rx arrives antenna-major, (B, num_rx, len_ltf) — the time axis is
+      minor/contiguous, so the per-symbol DFT contracts the minor axis
+      directly (a clean (B·R·Nt, sym_len) × (sym_len, C) MXU matmul, no
+      transpose);
+    * the CP drop is folded into the DFT matrix as zero columns
+      (dft_selected_padded_np) instead of a strided slice of the
+      hundreds-of-MB rx batch;
+    * the despread then contracts the tiny symbol axis, and the result
+      stays antenna-major — no output transpose.
+
+    Args:
+      rx: (B, num_rx, len_ltf) complex64.
+      consts: optional (A_padded, P) from ls_matmul_constants_rxmajor.
+
+    Returns:
+      (B, num_rx, num_tx, num_carriers) complex64 — rx-major layout;
+      transpose(0, 3, 2, 1) recovers the ls_estimate convention.
+    """
+    if consts is None:
+        consts = ls_matmul_constants_rxmajor(cfg)
+    a, p = consts
+    b, nrx, _ = rx.shape
+    x = rx.reshape(b, nrx, cfg.num_tx, cfg.sym_len)   # free: contiguous
+    y = jnp.einsum("brnt,ct->brnc", x, a)             # per-symbol DFT
+    return jnp.einsum("jn,brnc->brjc", p.astype(rx.dtype), y)
+
+
 def lmmse_weight(cfg: SimConfig, tau, snr_db):
     """Per-(packet, rx-antenna) LMMSE smoothing matrix M = Rhp · Rpp⁻¹.
 
