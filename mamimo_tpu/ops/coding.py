@@ -251,16 +251,41 @@ def mimo_equalize(rx_grid, h):
     return rx_eq, csi
 
 
+def _pilot_polarity_np(n: int, z: int = 4):
+    """IEEE 802.11 pilot polarity sequence p_{z}..p_{z+n-1}.
+
+    The 127-periodic ±1 sequence is the output of the 802.11 scrambler
+    LFSR (x⁷ + x³ + 1, all-ones seed) mapped 0→+1 / 1→−1 (IEEE
+    802.11-2016 §17.3.5.10); data symbols start at offset z=4 per the
+    VHT convention (§21.3.7.6). This is the schedule the MathWorks
+    helperGenPilots family applies to the data-symbol pilots."""
+    state = [1] * 7
+    seq = np.empty(127, np.float32)
+    for i in range(127):
+        b = state[6] ^ state[3]            # x^7 + x^3 + 1 feedback
+        seq[i] = 1.0 - 2.0 * b
+        state = [b] + state[:6]
+    return seq[(z + np.arange(n)) % 127]
+
+
 def gen_pilots(nsym: int, nsts: int):
     """Multi-antenna pilot tones for the data symbols (helperGenPilots
-    equivalent): a deterministic ±1 polarity pattern per (pilot tone,
-    symbol, stream). The receiver chain does not demap these — they only
-    need consistent power (generate_maMIMO_LTF.m:495-499)."""
+    equivalent, generate_maMIMO_LTF.m:495-499).
+
+    The 8 pilot carriers on the 256-point grid
+    (prm.PilotCarrierIndices, generate_maMIMO_LTF.m:100) carry the
+    802.11ac VHT-80MHz pilot pattern Ψ = {1,1,1,−1,−1,1,1,1} rotated by
+    one tone per data symbol (Ψ[(m+n) mod 8], IEEE 802.11-2016
+    §21.3.10.10) and scaled by the standard 127-periodic polarity
+    sequence p_{n+4} (_pilot_polarity_np). Replicated across space-time
+    streams. The receiver chain never demaps these — downstream metrics
+    only observe their (unit) power — but the schedule itself is the
+    derived 802.11 one, not an invention."""
     n_pilot = 8
-    base = np.asarray([1, 1, 1, -1, -1, 1, 1, 1], np.float32)
-    pol = np.asarray(
-        [1 if (i % 3) else -1 for i in range(nsym)], np.float32
-    )
-    pil = base[:, None] * pol[None, :]
+    psi = np.asarray([1, 1, 1, -1, -1, 1, 1, 1], np.float32)
+    pol = _pilot_polarity_np(nsym)                    # (nsym,)
+    m = np.arange(n_pilot)[:, None]                   # pilot tone index
+    n = np.arange(nsym)[None, :]                      # data symbol index
+    pil = psi[(m + n) % n_pilot] * pol[None, :]       # (8, nsym)
     out = np.repeat(pil[:, :, None], nsts, axis=2)
     return jnp.asarray(out, jnp.complex64)

@@ -69,6 +69,26 @@ def test_batched_demod(cfg):
     np.testing.assert_allclose(np.asarray(d2[1]), 2.0 * data, atol=4e-5)
 
 
+def test_data_leg_grid_power_accounting(cfg):
+    """Unit-power QPSK data + the 802.11 pilots, modulated and scaled by
+    fft/sqrt(used_sc) (generate_maMIMO_LTF.m:501-503), must yield a
+    unit-average-power time signal — the power bookkeeping the receiver's
+    noise/SNR accounting assumes."""
+    from mamimo_tpu.ops.coding import gen_pilots, qpsk_mod
+
+    nsym, nsts = 14, 2
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, size=(2 * cfg.num_carriers * nsym * nsts,))
+    syms = np.asarray(qpsk_mod(jnp.asarray(bits)))
+    data = syms.reshape(cfg.num_carriers, nsym, nsts)
+    pilots = np.asarray(gen_pilots(nsym, nsts))
+    t = np.asarray(ofdm_modulate(cfg, data, pilots))
+    t = t * (cfg.fft_length / np.sqrt(cfg.used_sc))
+    power = np.mean(np.abs(t) ** 2)
+    # CP repetition keeps the per-sample expectation at 1 exactly
+    np.testing.assert_allclose(power, 1.0, rtol=0.05)
+
+
 def test_jit_compatible(cfg):
     data = _rand_grid(cfg, 2, 1)
     f = jax.jit(lambda d: ofdm_modulate(cfg, d))

@@ -146,3 +146,33 @@ def test_gen_pilots_shape():
     p = np.asarray(gen_pilots(10, 2))
     assert p.shape == (8, 10, 2)
     assert np.all(np.abs(p) == 1)
+
+
+def test_pilot_polarity_is_80211_sequence():
+    """The LFSR-derived polarity must match the published 802.11
+    p_0..p_126 sequence head (IEEE 802.11-2016 Eq. 17-25)."""
+    from mamimo_tpu.ops.coding import _pilot_polarity_np
+
+    head = np.asarray(
+        [1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1,
+         -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1],
+        np.float32,
+    )
+    got = _pilot_polarity_np(32, z=0)
+    np.testing.assert_array_equal(got, head)
+    # period 127
+    full = _pilot_polarity_np(254, z=0)
+    np.testing.assert_array_equal(full[:127], full[127:])
+    # default offset: data symbols start at p_4 (VHT convention)
+    np.testing.assert_array_equal(_pilot_polarity_np(3), head[4:7])
+
+
+def test_gen_pilots_rotation_and_polarity():
+    """Ψ rotates one tone per symbol; every symbol's column is ±Ψ."""
+    psi = np.asarray([1, 1, 1, -1, -1, 1, 1, 1], np.float32)
+    p = np.asarray(gen_pilots(6, 1)).real[:, :, 0]     # (8, nsym)
+    from mamimo_tpu.ops.coding import _pilot_polarity_np
+
+    pol = _pilot_polarity_np(6)
+    for n in range(6):
+        np.testing.assert_array_equal(p[:, n], np.roll(psi, -n) * pol[n])
