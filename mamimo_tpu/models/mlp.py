@@ -216,6 +216,47 @@ def factored_plane_apply(tcfg: TrainConfig, pp, bb, x, pil_rows,
     return y.astype(jnp.float32)
 
 
+def _factored_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params,
+                        bn_state, planes, dtype=None):
+    """Shared factored all-pairs body: real planes in, per-plane head
+    outputs out. Single source of truth for every input layout wrapper
+    (time-major / rx-major / canonical planes).
+
+    Args:
+      planes: (2, S, len_ltf) float32, S = batch·num_rx rx-major.
+
+    Returns:
+      (2, S, num_tx, num_carriers) float32.
+    """
+    from mamimo_tpu.ops.ltf import pilot_p_matrix
+
+    assert tcfg.in_fraction == 1 and tcfg.decimate == "none", (
+        "factored inference requires the default input pipeline"
+    )
+    P = pilot_p_matrix(cfg.num_tx)                   # (ntx, ntx)
+    return jax.vmap(
+        lambda pp, bb, x: factored_plane_apply(tcfg, pp, bb, x, P.T,
+                                               dtype=dtype)
+    )(params, bn_state, planes)                      # (2, S, ntx, C)
+
+
+def predict_all_pairs_planes(cfg: SimConfig, tcfg: TrainConfig, params,
+                             bn_state, rx_planes, dtype=None):
+    """Factored all-pairs inference from canonical rx-major planes.
+
+    Args:
+      rx_planes: (2, B, num_rx, len_ltf) float32.
+
+    Returns:
+      (B, num_rx, num_tx, num_carriers) complex64 (rx-major layout).
+    """
+    _, b, nrx, L = rx_planes.shape
+    y2 = _factored_all_pairs(cfg, tcfg, params, bn_state,
+                             rx_planes.reshape(2, b * nrx, L), dtype=dtype)
+    y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
+    return y.reshape(b, nrx, cfg.num_tx, cfg.num_carriers)
+
+
 def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
                       rx, dtype=None):
     """Batch inference over ALL (tx, rx) pairs of received preambles —
@@ -244,23 +285,13 @@ def predict_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params, bn_state,
     Returns:
       (B, num_carriers, num_tx, num_rx) complex64 DNN CSI.
     """
-    from mamimo_tpu.ops.ltf import pilot_p_matrix
-
-    assert tcfg.in_fraction == 1 and tcfg.decimate == "none", (
-        "factored inference requires the default input pipeline"
-    )
     b, L, nrx = rx.shape
-    ntx = cfg.num_tx
-    P = pilot_p_matrix(ntx)                      # (ntx, ntx)
     sig2 = jnp.transpose(rx, (0, 2, 1)).reshape(b * nrx, L)
     planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])   # (2, S, L)
-
-    y2 = jax.vmap(
-        lambda pp, bb, x: factored_plane_apply(tcfg, pp, bb, x, P.T,
-                                               dtype=dtype)
-    )(params, bn_state, planes)                      # (2, S, ntx, C)
+    y2 = _factored_all_pairs(cfg, tcfg, params, bn_state, planes,
+                             dtype=dtype)
     y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
-    y = y.reshape(b, nrx, ntx, cfg.num_carriers)
+    y = y.reshape(b, nrx, cfg.num_tx, cfg.num_carriers)
     return jnp.transpose(y, (0, 3, 2, 1))
 
 
@@ -279,23 +310,13 @@ def predict_all_pairs_rxmajor(cfg: SimConfig, tcfg: TrainConfig, params,
       (B, num_rx, num_tx, num_carriers) complex64 DNN CSI;
       transpose(0, 3, 2, 1) recovers the predict_all_pairs convention.
     """
-    from mamimo_tpu.ops.ltf import pilot_p_matrix
-
-    assert tcfg.in_fraction == 1 and tcfg.decimate == "none", (
-        "factored inference requires the default input pipeline"
-    )
     b, nrx, L = rx.shape
-    ntx = cfg.num_tx
-    P = pilot_p_matrix(ntx)                      # (ntx, ntx)
     sig2 = rx.reshape(b * nrx, L)                # free: contiguous
     planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])   # (2, S, L)
-
-    y2 = jax.vmap(
-        lambda pp, bb, x: factored_plane_apply(tcfg, pp, bb, x, P.T,
-                                               dtype=dtype)
-    )(params, bn_state, planes)                      # (2, S, ntx, C)
+    y2 = _factored_all_pairs(cfg, tcfg, params, bn_state, planes,
+                             dtype=dtype)
     y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
-    return y.reshape(b, nrx, ntx, cfg.num_carriers)
+    return y.reshape(b, nrx, cfg.num_tx, cfg.num_carriers)
 
 
 def predict_complex(cfg, tcfg, params, bn_state, sig, pilot):

@@ -8,6 +8,7 @@ across Tx streams.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mamimo_tpu.config import SimConfig
@@ -57,16 +58,18 @@ def dft_selected_np(cfg: SimConfig):
     return (a / (cfg.num_tx * ltf)[:, None]).astype(np.complex64)  # (C, N)
 
 
-def ls_matmul_constants(cfg: SimConfig):
+def ls_matmul_constants(cfg: SimConfig, padded: bool = False):
     """Trace-time constants for the matmul-form LS estimator:
-    (A, P) with A the scaled selected-bin DFT matrix (dft_selected_np)
-    and P the pilot mapping. Pass these as jit *arguments* (they are
-    ~0.5 MB; keeping executables literal-free)."""
+    (A, P) with A the scaled selected-bin DFT matrix (dft_selected_np;
+    with padded=True extended over the CP samples with zero columns —
+    the rx-major form, dft_selected_padded_np) and P the pilot mapping.
+    Pass these as jit *arguments* (they are ~0.5 MB; keeping executables
+    literal-free)."""
     from mamimo_tpu.ops.ltf import _hadamard_np
     from mamimo_tpu.utils.numerics import put_complex
 
-    return (put_complex(dft_selected_np(cfg)),
-            jnp.asarray(_hadamard_np(cfg.num_tx)))
+    a_np = dft_selected_padded_np(cfg) if padded else dft_selected_np(cfg)
+    return (put_complex(a_np), jnp.asarray(_hadamard_np(cfg.num_tx)))
 
 
 def ls_estimate_matmul(cfg: SimConfig, rx, consts=None):
@@ -111,11 +114,52 @@ def dft_selected_padded_np(cfg: SimConfig):
 
 def ls_matmul_constants_rxmajor(cfg: SimConfig):
     """Trace-time constants (A_padded, P) for ls_estimate_rxmajor."""
-    from mamimo_tpu.ops.ltf import _hadamard_np
-    from mamimo_tpu.utils.numerics import put_complex
+    return ls_matmul_constants(cfg, padded=True)
 
-    return (put_complex(dft_selected_padded_np(cfg)),
+
+def ls_planes_constants(cfg: SimConfig):
+    """Trace-time constants for ls_estimate_planes: (At_r, At_i, P) with
+    At = dft_selected_padded_np(cfg).T as separate float32 planes
+    (sym_len, C) — the planes path never builds complex arrays from the
+    rx batch, so the DFT matrix is pre-split too."""
+    import numpy as np
+
+    from mamimo_tpu.ops.ltf import _hadamard_np
+
+    at = dft_selected_padded_np(cfg).T                 # (sym_len, C)
+    return (jnp.asarray(np.real(at), jnp.float32),
+            jnp.asarray(np.imag(at), jnp.float32),
             jnp.asarray(_hadamard_np(cfg.num_tx)))
+
+
+def ls_estimate_planes(cfg: SimConfig, planes, consts=None):
+    """LS estimation from canonical rx-major real PLANES — the TPU-native
+    hot-path form (identical math to ls_estimate_matmul):
+
+    * input is (2, S, len_ltf) float32 ([0]=real, [1]=imag, S = B·num_rx
+      in rx-major order) — no complex extraction, no transposes;
+    * the CP drop is zero rows folded into the DFT matrix;
+    * the complex DFT-select is 4 real MXU matmuls over the free
+      (S·num_tx, sym_len) reshape; the despread contracts the tiny
+      symbol axis.
+
+    Args:
+      planes: (2, S, len_ltf) float32.
+      consts: optional (At_r, At_i, P) from ls_planes_constants.
+
+    Returns:
+      (S, num_tx, num_carriers) complex64 — rx-major layout.
+    """
+    if consts is None:
+        consts = ls_planes_constants(cfg)
+    at_r, at_i, p = consts
+    _, s, _ = planes.shape
+    nsym = cfg.num_tx
+    x = planes.reshape(2, s * nsym, cfg.sym_len)      # free: contiguous
+    zr = x[0] @ at_r - x[1] @ at_i                    # (S·nsym, C)
+    zi = x[0] @ at_i + x[1] @ at_r
+    z = jax.lax.complex(zr, zi).reshape(s, nsym, cfg.num_carriers)
+    return jnp.einsum("jn,snc->sjc", p.astype(z.dtype), z)
 
 
 def ls_estimate_rxmajor(cfg: SimConfig, rx, consts=None):

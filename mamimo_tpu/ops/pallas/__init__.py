@@ -6,3 +6,8 @@ from mamimo_tpu.ops.pallas.mlp_infer import (  # noqa: F401
     mlp_infer_pallas,
 )
 from mamimo_tpu.ops.pallas.fused_ls import ls_estimate_pallas  # noqa: F401
+from mamimo_tpu.ops.pallas.fused_factored import (  # noqa: F401
+    fused_factored_planes,
+    predict_all_pairs_planes_pallas,
+    prepare_factored_weights,
+)

@@ -1,0 +1,108 @@
+"""Fused factored all-pairs Pallas kernel vs the XLA reference paths.
+
+Validates the round-2 production hot path (ops/pallas/fused_factored.py)
+against models/mlp.py::predict_all_pairs (itself validated against the
+per-sample reference forward pass in test_predict_all_pairs.py), and the
+planes-layout LS estimator against the matmul form.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamimo_tpu.config import SimConfig, TrainConfig
+from mamimo_tpu.models.mlp import (
+    init_stacked,
+    predict_all_pairs,
+    predict_all_pairs_planes,
+)
+from mamimo_tpu.ops.estimate import (
+    ls_estimate_matmul,
+    ls_estimate_planes,
+    ls_matmul_constants,
+    ls_planes_constants,
+)
+from mamimo_tpu.ops.pallas import (
+    predict_all_pairs_planes_pallas,
+    prepare_factored_weights,
+)
+
+CFG = SimConfig(num_tx=8, num_rx=2)
+TCFG = TrainConfig(hidden=(128, 128))
+
+
+def _rx(b=3, seed=0):
+    key = jax.random.PRNGKey(seed)
+    z = jax.random.normal(key, (b, CFG.len_ltf, CFG.num_rx, 2))
+    return jax.lax.complex(z[..., 0], z[..., 1])
+
+
+def _planes(rx):
+    """time-major complex -> canonical rx-major planes (2, B, R, L)."""
+    rxm = jnp.transpose(rx, (0, 2, 1))
+    return jnp.stack([jnp.real(rxm), jnp.imag(rxm)])
+
+
+def test_planes_wrapper_matches_time_major():
+    params, bn = init_stacked(jax.random.PRNGKey(1), CFG, TCFG)
+    rx = _rx()
+    ref = predict_all_pairs(CFG, TCFG, params, bn, rx)
+    got = predict_all_pairs_planes(CFG, TCFG, params, bn, _planes(rx))
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 3, 2, 1))), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("dot_dtype,tol", [
+    (jnp.float32, 2e-4),
+    (jnp.bfloat16, 0.08),
+])
+def test_fused_factored_kernel_matches_xla(dot_dtype, tol):
+    params, bn = init_stacked(jax.random.PRNGKey(2), CFG, TCFG)
+    rx = _rx(b=2, seed=3)
+    planes = _planes(rx)
+    ref = predict_all_pairs_planes(CFG, TCFG, params, bn, planes)
+
+    prep = prepare_factored_weights(CFG, TCFG, params, bn,
+                                    dot_dtype=dot_dtype)
+    got = predict_all_pairs_planes_pallas(
+        CFG, TCFG, prep, planes,
+        block_s=64, block_k=512, dot_dtype=dot_dtype, out_dtype=jnp.float32,
+    )
+    r = np.asarray(ref)
+    g = np.asarray(got)
+    assert g.shape == r.shape
+    scale = np.abs(r).max()
+    np.testing.assert_allclose(g, r, atol=tol * scale)
+
+
+def test_fused_factored_unaligned_batch():
+    """S and L not multiples of the block sizes exercise the pad path."""
+    params, bn = init_stacked(jax.random.PRNGKey(4), CFG, TCFG)
+    rx = _rx(b=3, seed=5)                      # S = 6, L = 2560
+    planes = _planes(rx)
+    ref = predict_all_pairs_planes(CFG, TCFG, params, bn, planes)
+    prep = prepare_factored_weights(CFG, TCFG, params, bn,
+                                    dot_dtype=jnp.float32)
+    got = predict_all_pairs_planes_pallas(
+        CFG, TCFG, prep, planes,
+        block_s=128, block_k=384, dot_dtype=jnp.float32,
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ls_planes_matches_matmul_form():
+    rx = _rx(b=4, seed=6)
+    ref = ls_estimate_matmul(CFG, rx, ls_matmul_constants(CFG))
+    planes = _planes(rx)
+    got = ls_estimate_planes(
+        CFG, planes.reshape(2, -1, CFG.len_ltf), ls_planes_constants(CFG)
+    )  # (S, ntx, C) rx-major
+    got = got.reshape(4, CFG.num_rx, CFG.num_tx, CFG.num_carriers)
+    got_tm = jnp.transpose(got, (0, 3, 2, 1))
+    np.testing.assert_allclose(np.asarray(got_tm), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
