@@ -138,13 +138,15 @@ def _chained_step(core, extra=()):
 
 def make_estimation_fn(cfg, tcfg, params, bn_state,
                        use_pallas: bool = False, chained: bool = False,
-                       use_bf16: bool = False):
+                       use_bf16: bool = False, from_planes: bool = False):
     """Build the jitted fused estimation step: raw preamble batch ->
     (LS estimate, DNN estimate). With use_pallas=True the LS despread
     and the MLP run through the fused Pallas kernels. With use_bf16=True
     the DNN matmuls run in bfloat16 (LS stays float32). With
     chained=True returns a timing step rx -> (rx', scalar) with the
-    reduce+chain fused into the same program (see _chained_step)."""
+    reduce+chain fused into the same program (see _chained_step). With
+    from_planes=True the step input is canonical (2, B, R, L) planes and
+    the time-major complex conversion runs inside the step."""
     import jax
     import jax.numpy as jnp
 
@@ -168,7 +170,10 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
     # inputs with large embedded weight literals, and argument-passing is
     # the right design anyway (no giant constants in the executable).
     def _estimate(p, bn, lsc, rx):
-        """rx: (B, len_ltf, num_rx) complex64."""
+        """rx: (B, len_ltf, num_rx) complex64 (or canonical planes when
+        from_planes=True)."""
+        if from_planes:
+            rx = _planes_to_time_major(rx)
         b = rx.shape[0]
         if use_pallas:
             h_ls = ls_estimate_pallas(cfg, rx)
@@ -206,33 +211,73 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
     return lambda rx: _jitted(params, bn_state, ls_consts, rx)
 
 
-def make_estimation_fn_rxmajor(cfg, tcfg, params, bn_state,
-                               use_bf16: bool = False):
-    """The rx-major (antenna-major) fused estimation step: rx arrives
-    (B, num_rx, len_ltf) and both outputs stay (B, num_rx, num_tx, C) —
-    the framework's TPU-native layout. Removes every big-tensor
-    transpose and the CP-drop strided slice from the hot path (the CP
-    drop is zero columns folded into the DFT matrix). Returns a chained
-    timing step (see _chained_step)."""
+def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
+                              use_bf16: bool = False):
+    """Fused estimation step on the framework's CANONICAL raw layout:
+    rx-major float32 planes (2, B, num_rx, len_ltf) — what the dataset
+    pipeline stores and the loaders emit (complex64 cannot even cross
+    the host↔device boundary on this backend). No complex extraction,
+    no big-tensor transposes; the CP drop is zero rows folded into the
+    DFT matrix. Outputs stay rx-major. Returns a chained timing step."""
     import jax.numpy as jnp
 
-    from mamimo_tpu.models.mlp import predict_all_pairs_rxmajor
-    from mamimo_tpu.ops.estimate import (
-        ls_estimate_rxmajor,
-        ls_matmul_constants_rxmajor,
-    )
+    from mamimo_tpu.models.mlp import predict_all_pairs_planes
+    from mamimo_tpu.ops.estimate import ls_estimate_planes, ls_planes_constants
 
-    ls_consts = ls_matmul_constants_rxmajor(cfg)
+    ls_consts = ls_planes_constants(cfg)
 
-    def _estimate(p, bn, lsc, rx):
-        """rx: (B, num_rx, len_ltf) complex64."""
-        h_ls = ls_estimate_rxmajor(cfg, rx, lsc)
-        h_dnn = predict_all_pairs_rxmajor(
-            cfg, tcfg, p, bn, rx,
+    def _estimate(p, bn, lsc, planes):
+        """planes: (2, B, num_rx, len_ltf) float32."""
+        _, b, nrx, L = planes.shape
+        flat = planes.reshape(2, b * nrx, L)
+        h_ls = ls_estimate_planes(cfg, flat, lsc).reshape(
+            b, nrx, cfg.num_tx, cfg.num_carriers)
+        h_dnn = predict_all_pairs_planes(
+            cfg, tcfg, p, bn, planes,
             dtype=jnp.bfloat16 if use_bf16 else None)
         return h_ls, h_dnn
 
     return _chained_step(_estimate, (params, bn_state, ls_consts))
+
+
+def make_estimation_fn_pallas_factored(cfg, tcfg, params, bn_state,
+                                       block_s: int = 128,
+                                       block_k: int = 1024):
+    """The production Pallas hot path: fused factored all-pairs DNN
+    kernel (ops/pallas/fused_factored.py — W1 streamed through VMEM,
+    pilot heads expanded on-chip, bf16 MXU) + the planes LS matmuls.
+    Weight folding (BN affines, pilot-head biases, bf16 casts) happens
+    ONCE here — it is per-weight-set deploy work, not per-batch work.
+    Returns a chained timing step on canonical planes input."""
+    from mamimo_tpu.ops.estimate import ls_estimate_planes, ls_planes_constants
+    from mamimo_tpu.ops.pallas import (
+        predict_all_pairs_planes_pallas,
+        prepare_factored_weights,
+    )
+
+    ls_consts = ls_planes_constants(cfg)
+    prepared = prepare_factored_weights(cfg, tcfg, params, bn_state)
+
+    def _estimate(prep, lsc, planes):
+        """planes: (2, B, num_rx, len_ltf) float32."""
+        _, b, nrx, L = planes.shape
+        flat = planes.reshape(2, b * nrx, L)
+        h_ls = ls_estimate_planes(cfg, flat, lsc).reshape(
+            b, nrx, cfg.num_tx, cfg.num_carriers)
+        h_dnn = predict_all_pairs_planes_pallas(
+            cfg, tcfg, prep, planes, block_s=block_s, block_k=block_k)
+        return h_ls, h_dnn
+
+    return _chained_step(_estimate, (prepared, ls_consts))
+
+
+def _planes_to_time_major(planes):
+    """(2, B, R, L) planes -> (B, L, R) complex64 (inside jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    rx = jax.lax.complex(planes[0], planes[1])        # (B, R, L)
+    return jnp.transpose(rx, (0, 2, 1))
 
 
 def _time_fn(step, arg, iters):
@@ -294,62 +339,81 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     key = jax.random.PRNGKey(0)
     params, bn_state = init_stacked(key, cfg, tcfg)
 
-    # synthetic received preambles (content doesn't affect timing).
-    # Built INSIDE jit: eager `1j*z` would device_put a complex constant,
-    # which the tunneled backend cannot transfer.
+    # synthetic received preambles (content doesn't affect timing), in
+    # the CANONICAL raw layout: rx-major float32 planes (2, B, R, L) —
+    # what the dataset pipeline stores and every loader emits. Paths
+    # that want other layouts (complex, time-major) pay the conversion
+    # INSIDE their timed step.
     @jax.jit
-    def _mk_rx(k):
-        z = jax.random.normal(
-            k, (batch_packets, cfg.len_ltf, cfg.num_rx, 2))
-        return jax.lax.complex(z[..., 0], z[..., 1])
+    def _mk_planes(k):
+        return jax.random.normal(
+            k, (2, batch_packets, cfg.num_rx, cfg.len_ltf))
 
-    rx = _mk_rx(key)
+    planes = _mk_planes(key)
     n_est = batch_packets * cfg.num_tx * cfg.num_rx
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    from mamimo_tpu.ops.estimate import ls_estimate_matmul, ls_matmul_constants
+    from mamimo_tpu.ops.estimate import (
+        ls_estimate_matmul,
+        ls_estimate_planes,
+        ls_matmul_constants,
+        ls_planes_constants,
+    )
 
     lsc = ls_matmul_constants(cfg)
+    lsp = ls_planes_constants(cfg)
     timings = {}
-    timings["xla_full"] = _time_fn(
-        make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False,
-                           chained=True),
-        rx, iters)
-    timings["xla_full_bf16"] = _time_fn(
-        make_estimation_fn(cfg, tcfg, params, bn_state, use_pallas=False,
-                           chained=True, use_bf16=True),
-        rx, iters)
+    # canonical-layout XLA paths
+    timings["xla_planes"] = _time_fn(
+        make_estimation_fn_planes(cfg, tcfg, params, bn_state),
+        planes, iters)
+    timings["xla_planes_bf16"] = _time_fn(
+        make_estimation_fn_planes(cfg, tcfg, params, bn_state,
+                                  use_bf16=True),
+        planes, iters)
 
-    # rx-major layout path: same estimates, antenna-major memory format
-    # (B, R, L) — no big-tensor transposes, CP drop folded into the DFT
-    @jax.jit
-    def _to_rxmajor(r):
-        return jnp.transpose(r, (0, 2, 1))
+    # legacy time-major paths (the reference's layout): the planes ->
+    # complex time-major conversion runs inside the timed step
+    def _tm_core(p, bn, c, pl_in):
+        from mamimo_tpu.models.mlp import predict_all_pairs
 
-    rx_major = _to_rxmajor(rx)
-    timings["xla_rxmajor"] = _time_fn(
-        make_estimation_fn_rxmajor(cfg, tcfg, params, bn_state),
-        rx_major, iters)
-    timings["xla_rxmajor_bf16"] = _time_fn(
-        make_estimation_fn_rxmajor(cfg, tcfg, params, bn_state,
-                                   use_bf16=True),
-        rx_major, iters)
+        rx = _planes_to_time_major(pl_in)
+        h_ls = ls_estimate_matmul(cfg, rx, c)
+        h_dnn = predict_all_pairs(cfg, tcfg, p, bn, rx, dtype=jnp.bfloat16)
+        return h_ls, h_dnn
+
+    timings["xla_timemajor_bf16"] = _time_fn(
+        _chained_step(_tm_core, (params, bn_state, lsc)), planes, iters)
+
+    # LS-only paths
+    timings["ls_planes"] = _time_fn(
+        _chained_step(lambda c, pl_in: ls_estimate_planes(
+            cfg, pl_in.reshape(2, -1, cfg.len_ltf), c), (lsp,)),
+        planes, iters)
     timings["ls_fft"] = _time_fn(
-        _chained_step(lambda r: estimate_from_rx(cfg, r)[0]), rx, iters)
+        _chained_step(lambda pl_in: estimate_from_rx(
+            cfg, _planes_to_time_major(pl_in))[0]), planes, iters)
     timings["ls_matmul"] = _time_fn(
-        _chained_step(lambda c, r: ls_estimate_matmul(cfg, r, c), (lsc,)),
-        rx, iters)
+        _chained_step(lambda c, pl_in: ls_estimate_matmul(
+            cfg, _planes_to_time_major(pl_in), c), (lsc,)),
+        planes, iters)
     if on_tpu:
         try:
+            timings["pallas_factored"] = _time_fn(
+                make_estimation_fn_pallas_factored(cfg, tcfg, params,
+                                                   bn_state),
+                planes, iters)
             timings["pallas_full"] = _time_fn(
                 make_estimation_fn(cfg, tcfg, params, bn_state,
-                                   use_pallas=True, chained=True),
-                rx, iters)
+                                   use_pallas=True, chained=True,
+                                   from_planes=True),
+                planes, iters)
             timings["ls_pallas"] = _time_fn(
-                _chained_step(lambda r: ls_estimate_pallas(cfg, r)),
-                rx, iters)
+                _chained_step(lambda pl_in: ls_estimate_pallas(
+                    cfg, _planes_to_time_major(pl_in))),
+                planes, iters)
         except Exception as e:                   # pragma: no cover
             # stderr: stdout carries exactly one JSON line for the driver
             print(f"[bench] pallas path unavailable: {e}",
@@ -358,8 +422,9 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     if profile_dir:
         jax.profiler.stop_trace()
 
-    full_keys = [k for k in ("pallas_full", "xla_full", "xla_full_bf16",
-                             "xla_rxmajor", "xla_rxmajor_bf16")
+    full_keys = [k for k in ("pallas_factored", "pallas_full",
+                             "xla_planes", "xla_planes_bf16",
+                             "xla_timemajor_bf16")
                  if k in timings]
     best_full = min(full_keys, key=lambda k: timings[k])
     est_per_s = n_est / timings[best_full]
@@ -375,9 +440,13 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     )
     achieved_tflops = dnn_flops / timings[best_full] / 1e12
     # the fused step also computes the LS estimate: complex matmuls cost
-    # 4 real mults + 2 adds ≈ 8 flops/MAC (demod DFT + P-despread)
+    # 4 real mults + 2 adds ≈ 8 flops/MAC (demod DFT + P-despread). The
+    # planes / rx-major forms fold the CP drop into the DFT as zero
+    # columns, so their executed DFT MACs span sym_len, not fft_length.
+    ls_dft_cols = (cfg.fft_length if best_full.startswith("xla_timemajor")
+                   else cfg.sym_len)
     ls_flops = 8.0 * batch_packets * cfg.num_rx * cfg.num_tx * (
-        cfg.fft_length * cfg.num_carriers          # selected-bin DFT
+        ls_dft_cols * cfg.num_carriers             # selected-bin DFT
         + cfg.num_carriers * cfg.num_tx            # despread
     )
     achieved_total = (dnn_flops + ls_flops) / timings[best_full] / 1e12
@@ -396,7 +465,8 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             "device": str(dev),
             "batch_packets": batch_packets,
             "best_path": best_full,
-            "precision": "bf16" if best_full.endswith("bf16") else "f32",
+            "precision": ("bf16" if best_full.endswith("bf16")
+                          or best_full.startswith("pallas") else "f32"),
             "per_path_estimates_per_s": {
                 k: round(n_est / v, 1) for k, v in timings.items()
             },

@@ -68,13 +68,24 @@ def evaluate_closed_loop(
     max_packets: Optional[int] = None,
     fft_size: int | None = None,
     seed: int = 1234,
+    chunk: int = 32,
 ) -> Dict[str, ClosedLoopMetrics]:
-    """Run the closed loop over a test dataset.
+    """Run the closed loop over a test dataset, BATCHED.
+
+    The reference runs one MATLAB iteration per (packet × source)
+    (``BER_test_maMIMO_LTF.m:177,347``); the round-1 port kept that as
+    one jit dispatch each — 2,000 dispatches per SNR at protocol scale.
+    Here the whole (packet × source) grid is vmapped: one dispatch per
+    `chunk` packets runs ALL sources for those packets, with the channel
+    realization and the (rays/bits/noise) draws shared across sources at
+    a given packet exactly like the single rng stream of the reference.
 
     Args:
       ds: test dataset (must carry h_mmse if 'lmmse' is requested).
       predictions: (B, C, Nt, Nr) DNN CSI (required for 'dnn').
       max_packets: evaluate only the first N packets.
+      chunk: packets per dispatch (bounds peak memory: each in-flight
+        packet carries ~(n_src × fft × Nt) complex workspaces).
 
     Returns: {source: ClosedLoopMetrics}
     """
@@ -86,53 +97,54 @@ def evaluate_closed_loop(
             if not (s == "dnn" and predictions is None)
             and not (s == "lmmse" and ds.h_mmse is None)]
 
-    def one_packet(pkt_key, eval_key, csi, snr_cs, noise_db):
+    pools = {"ls": ds.h_ls, "lmmse": ds.h_mmse, "dnn": predictions,
+             "perfect": ds.h_perfect}
+    # (n, n_src, C, Nt, Nr) host stack — per-chunk device transfer below
+    csi_host = np.stack([pools[s][:n] for s in srcs], axis=1)
+
+    def one_packet(pkt_key, eval_key, csi_srcs, snr_cs, noise_db):
         chan = realize_channel(
             cfg, jax.random.split(pkt_key, 3)[0], ds.scenario
         )
-        return run_data_transmission(
-            cfg, eval_key, ds.scenario, chan, csi, noise_db, snr_cs,
-            fft_size=fft_size,
-        )
 
-    run = jax.jit(one_packet)
+        def one_source(csi):
+            return run_data_transmission(
+                cfg, eval_key, ds.scenario, chan, csi, noise_db, snr_cs,
+                fft_size=fft_size,
+            )
 
-    results = {s: {"ber": [], "evm": [], "nmse": [], "bf": []}
-               for s in srcs}
+        return jax.vmap(one_source)(csi_srcs)
+
+    @jax.jit
+    def run_chunk(pkt_keys, eval_keys, csi, snr_cs, noise_db):
+        return jax.vmap(one_packet)(pkt_keys, eval_keys, csi, snr_cs,
+                                    noise_db)
+
     base_eval = jax.random.PRNGKey(seed)
     ref = put_complex(ds.h_perfect[:n])
 
-    for s in srcs:
-        if s == "ls":
-            csi_all = ds.h_ls
-        elif s == "lmmse":
-            csi_all = ds.h_mmse
-        elif s == "dnn":
-            csi_all = predictions
-        else:
-            csi_all = ds.h_perfect
-        nm = np.asarray(nmse_subk(ref, put_complex(csi_all[:n])))
-        for p in range(n):
-            # same random draws (rays/bits/noise) for every source at a
-            # given packet, like the single rng stream in the reference
-            r = run(
-                ds.packet_key(p),
-                jax.random.fold_in(base_eval, p),
-                put_complex(csi_all[p]),
-                jnp.asarray(ds.snr_cs[p]),
-                jnp.asarray(ds.noise_db[p]),
-            )
-            results[s]["ber"].append(float(r.ber))
-            results[s]["evm"].append(float(r.evm))
-            results[s]["bf"].append(float(r.bf_gain))
-        results[s]["nmse"] = nm
-
-    return {
-        s: ClosedLoopMetrics(
-            ber=np.asarray(results[s]["ber"]),
-            evm=np.asarray(results[s]["evm"]),
-            nmse=np.asarray(results[s]["nmse"]),
-            bf_gain=np.asarray(results[s]["bf"]),
+    ber = np.zeros((n, len(srcs)))
+    evm = np.zeros((n, len(srcs)))
+    bf = np.zeros((n, len(srcs)))
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        ps = jnp.arange(start, stop)
+        pkt_keys = jax.vmap(ds.packet_key)(ps)
+        eval_keys = jax.vmap(lambda p: jax.random.fold_in(base_eval, p))(ps)
+        r = run_chunk(
+            pkt_keys, eval_keys,
+            put_complex(csi_host[start:stop]),
+            jnp.asarray(ds.snr_cs[start:stop]),
+            jnp.asarray(ds.noise_db[start:stop]),
         )
-        for s in srcs
-    }
+        ber[start:stop] = np.asarray(r.ber)
+        evm[start:stop] = np.asarray(r.evm)
+        bf[start:stop] = np.asarray(r.bf_gain)
+
+    out = {}
+    for i, s in enumerate(srcs):
+        nm = np.asarray(nmse_subk(ref, put_complex(pools[s][:n])))
+        out[s] = ClosedLoopMetrics(
+            ber=ber[:, i], evm=evm[:, i], nmse=nm, bf_gain=bf[:, i]
+        )
+    return out

@@ -251,6 +251,28 @@ def lmmse_weight(cfg: SimConfig, tau, snr_db):
     return jnp.swapaxes(m, -1, -2).astype(jnp.complex64)
 
 
+def lmmse_estimate_chunked(cfg: SimConfig, h_ls, tau, snr_db,
+                           chunk: int = 32):
+    """lmmse_estimate streamed over the leading packet axis.
+
+    The smoothing matrices are (num_rx, C, C) complex PER PACKET
+    (~7 MB at BS32) — a protocol-scale 500-packet batch would
+    materialize ~3.5 GB of them before the solve. This form bounds the
+    live set to `chunk` packets via a scanned map (one compiled program,
+    sequential chunks).
+
+    Args:
+      h_ls:   (B, C, num_sts, num_rx); tau: (B, ns); snr_db: (B, num_rx).
+    """
+    import jax
+
+    def f(args):
+        h, t, s = args
+        return lmmse_estimate(cfg, h, t, s)
+
+    return jax.lax.map(f, (h_ls, tau, snr_db), batch_size=chunk)
+
+
 def lmmse_estimate(cfg: SimConfig, h_ls, tau, snr_db):
     """LMMSE channel estimate from the LS estimate.
 

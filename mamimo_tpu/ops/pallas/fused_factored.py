@@ -143,12 +143,15 @@ def _kernel(x_ref, w1_ref, hb_ref, a1_ref, c1_ref, w2_ref, b2_ref,
             h2 = jnp.maximum(h2, 0.0) * a2 + c2
             y = jnp.dot(h2.astype(dot_dtype), w3,
                         preferred_element_type=jnp.float32) + b3
-            o_ref[:, t, :] = y.astype(o_ref.dtype)
+            # head-major output: o_ref[t] is a contiguous (block_s, op)
+            # slab — a [:, t, :] write would scatter one sublane per
+            # (8,128) tile across the whole block
+            o_ref[t] = y.astype(o_ref.dtype)
 
 
 def _one_plane(cfg, prep_d, x, *, block_s, block_k, dot_dtype, out_dtype,
                interpret):
-    """x: (S, L) real plane. Returns (S, ntx, OP) out_dtype."""
+    """x: (S, L) real plane. Returns (ntx, S, OP) out_dtype (head-major)."""
     s_in, L = x.shape
     ntx = cfg.num_tx
     H = prep_d["w2"].shape[0]
@@ -184,15 +187,15 @@ def _one_plane(cfg, prep_d, x, *, block_s, block_k, dot_dtype, out_dtype,
             pl.BlockSpec((H, op), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, op), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_s, ntx, op), lambda i, k: (i, 0, 0),
+        out_specs=pl.BlockSpec((ntx, block_s, op), lambda i, k: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((sp, ntx, op), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((ntx, sp, op), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_s, H), jnp.float32)],
         interpret=interpret,
     )(x, w1, prep_d["hb"], prep_d["a1"], prep_d["c1"],
       prep_d["w2"], prep_d["b2"], prep_d["a2"], prep_d["c2"],
       prep_d["w3"], prep_d["b3"])
-    return out[:s_in]
+    return out[:, :s_in]
 
 
 def fused_factored_planes(
@@ -215,7 +218,10 @@ def fused_factored_planes(
         S = batch·num_rx in rx-major order.
 
     Returns:
-      (2, S, num_tx, num_carriers) out_dtype — per-plane head outputs.
+      (2, num_tx, S, num_carriers) out_dtype — per-plane head outputs in
+      the kernel's native HEAD-MAJOR layout (each head's (S, C) slab is
+      written contiguously; a [:, t, :] scatter would touch one sublane
+      per tile).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -229,7 +235,7 @@ def fused_factored_planes(
             cfg, prep_d, planes[d], block_s=block_s, block_k=block_k,
             dot_dtype=dot_dtype, out_dtype=out_dtype, interpret=interpret,
         ))
-    y = jnp.stack(outs)                               # (2, S, ntx, OP)
+    y = jnp.stack(outs)                               # (2, ntx, S, OP)
     return y[..., :cfg.num_carriers]
 
 
@@ -247,7 +253,7 @@ def predict_all_pairs_planes_pallas(cfg, tcfg, prepared, rx_planes, **kw):
     _, b, nrx, L = rx_planes.shape
     y = fused_factored_planes(
         cfg, tcfg, prepared, rx_planes.reshape(2, b * nrx, L), **kw
-    )
+    )                                           # (2, ntx, S, C) head-major
     y = (y[0].astype(jnp.float32) + 1j * y[1].astype(jnp.float32))
-    return y.reshape(b, nrx, cfg.num_tx, cfg.num_carriers).astype(
-        jnp.complex64)
+    y = y.reshape(cfg.num_tx, b, nrx, cfg.num_carriers)
+    return jnp.transpose(y, (1, 2, 0, 3)).astype(jnp.complex64)
