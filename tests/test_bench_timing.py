@@ -48,3 +48,28 @@ def test_chained_complex_input():
     assert z1.dtype == jnp.complex64
     # core output is |1+1j|^2 = 2.0 per element; reduction sums squares
     np.testing.assert_allclose(float(s), 36.0, rtol=1e-5)
+
+
+def test_chained_step_unroll_matches_sequential():
+    """A K-unrolled step (lax.scan inside one program) computes exactly
+    the same chain as K sequential single-dispatch steps."""
+    core = lambda scale, rx: rx * scale
+    extra = (jnp.float32(1.5),)
+    step1 = _chained_step(core, extra)
+    step3 = _chained_step(core, extra, unroll=3)
+    rx0 = jnp.linspace(0.1, 1.0, 16, dtype=jnp.float32).reshape(4, 4)
+    r, s = rx0, None
+    for _ in range(3):
+        r, s = step1(r)
+    r3, s3 = step3(rx0)
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r), rtol=1e-6)
+    np.testing.assert_allclose(float(s3), float(s), rtol=1e-6)
+
+
+def test_time_fn_per_call_divides():
+    def step(rx):
+        return rx, jnp.float32(1.0)
+
+    dt1 = _time_fn(step, jnp.zeros((2,)), iters=4)
+    dt4 = _time_fn(step, jnp.zeros((2,)), iters=4, per_call=4)
+    assert dt4 <= dt1  # same wall time divided by 4x the work count

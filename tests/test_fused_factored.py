@@ -106,3 +106,17 @@ def test_ls_planes_matches_matmul_form():
     got_tm = jnp.transpose(got, (0, 3, 2, 1))
     np.testing.assert_allclose(np.asarray(got_tm), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ls_planes_bf16_close_to_f32():
+    """bf16 MXU DFT (f32 accumulation) stays within bf16 quantization
+    (~0.4% relative) of the f32 LS estimate — far below the LS noise
+    floor at any operating SNR."""
+    rx = _rx(b=4, seed=7)
+    planes = _planes(rx).reshape(2, -1, CFG.len_ltf)
+    consts = ls_planes_constants(CFG)
+    ref = np.asarray(ls_estimate_planes(CFG, planes, consts))
+    got = np.asarray(ls_estimate_planes(CFG, planes, consts,
+                                        dtype=jnp.bfloat16))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.02 * scale)
