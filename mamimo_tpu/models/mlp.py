@@ -170,6 +170,49 @@ def stacked_apply(tcfg, params, bn_state, x2, *, train=False, rng=None):
     return jax.vmap(one)(params, bn_state, x2, rngs)
 
 
+def factored_heads_apply(tcfg: TrainConfig, pp, bb, sig_proj, pil_rows,
+                         sig_len: int, dtype=None):
+    """Everything after the shared layer-1 signal matmul of the factored
+    eval-mode MLP: per-head pilot projection + bias, relu, folded BN
+    affine, remaining dense layers, output head. Split out so sharded
+    paths can compute ``sig_proj`` as a psum of per-device partial
+    contractions (sequence-parallel layer 1) and finish locally.
+
+    Args:
+      sig_proj: (S, H) precomputed ``signal @ W1[:sig_len]``.
+      pil_rows: (n_heads, num_tx) pilot rows.
+      sig_len: the signal length L that splits W1 into signal/pilot rows.
+
+    Returns:
+      (S, n_heads, num_carriers) float32.
+    """
+    cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
+
+    def bn_affine(i):
+        # eval-mode BN is affine; fold to (a, c) in float32, then cast
+        inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
+        a = inv * pp["bn"][i]["scale"]
+        c = pp["bn"][i]["bias"] - bb["mean"][i] * a
+        return cast(a), cast(c)
+
+    w1 = cast(pp["dense"][0]["w"])
+    pil_proj = cast(pil_rows) @ w1[sig_len:]     # (n_heads, H)
+    h = cast(sig_proj)[:, None, :] + pil_proj[None, :, :] \
+        + cast(pp["dense"][0]["b"])
+    h = jax.nn.relu(h)
+    if pp["bn"]:
+        a, c = bn_affine(0)
+        h = h * a + c
+    for i in range(1, len(pp["dense"])):
+        h = jax.nn.relu(h @ cast(pp["dense"][i]["w"])
+                        + cast(pp["dense"][i]["b"]))
+        if pp["bn"]:
+            a, c = bn_affine(i)
+            h = h * a + c
+    y = h @ cast(pp["out"]["w"]) + cast(pp["out"]["b"])
+    return y.astype(jnp.float32)
+
+
 def factored_plane_apply(tcfg: TrainConfig, pp, bb, x, pil_rows,
                          dtype=None):
     """One plane's factored eval-mode MLP: the (len, H) signal matmul is
@@ -189,31 +232,10 @@ def factored_plane_apply(tcfg: TrainConfig, pp, bb, x, pil_rows,
     """
     cast = (lambda t: t.astype(dtype)) if dtype is not None else (lambda t: t)
     L = x.shape[-1]
-
-    def bn_affine(i):
-        # eval-mode BN is affine; fold to (a, c) in float32, then cast
-        inv = jax.lax.rsqrt(bb["var"][i] + tcfg.bn_eps)
-        a = inv * pp["bn"][i]["scale"]
-        c = pp["bn"][i]["bias"] - bb["mean"][i] * a
-        return cast(a), cast(c)
-
     w1 = cast(pp["dense"][0]["w"])
     sig_proj = cast(x) @ w1[:L]                  # (S, H) — the big matmul
-    pil_proj = cast(pil_rows) @ w1[L:]           # (n_heads, H)
-    h = sig_proj[:, None, :] + pil_proj[None, :, :] \
-        + cast(pp["dense"][0]["b"])
-    h = jax.nn.relu(h)
-    if pp["bn"]:
-        a, c = bn_affine(0)
-        h = h * a + c
-    for i in range(1, len(pp["dense"])):
-        h = jax.nn.relu(h @ cast(pp["dense"][i]["w"])
-                        + cast(pp["dense"][i]["b"]))
-        if pp["bn"]:
-            a, c = bn_affine(i)
-            h = h * a + c
-    y = h @ cast(pp["out"]["w"]) + cast(pp["out"]["b"])
-    return y.astype(jnp.float32)
+    return factored_heads_apply(tcfg, pp, bb, sig_proj, pil_rows, L,
+                                dtype=dtype)
 
 
 def _factored_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params,

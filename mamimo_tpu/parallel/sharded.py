@@ -133,6 +133,97 @@ def sharded_predict_all_pairs(cfg, tcfg, mesh: Mesh, params, bn_state, rx,
     return shard(jnp.asarray(rx, jnp.complex64))
 
 
+def sharded_estimate_combined(cfg: SimConfig, tcfg: TrainConfig,
+                              mesh: Mesh, params, bn_state, rx,
+                              data_axis: str = "data",
+                              seq_axis: str = "seq",
+                              ant_axis: str = "antenna",
+                              dtype=None):
+    """The full fused estimation step (LS + factored all-pairs DNN) over
+    ONE 3-axis (data × seq × antenna) mesh — the combined sharding the
+    separate paths above exercise individually:
+
+    * ``data``: packets — embarrassingly parallel;
+    * ``seq``: the 10240-sample preamble split at OFDM-symbol boundaries.
+      Each device holds loc_sym symbols and contributes (a) a partial
+      P-despread for LS and (b) a partial layer-1 signal contraction
+      ``x_loc @ W1[rows_loc]`` for the DNN — each completed by one
+      ``psum`` over the seq axis (ICI);
+    * ``antenna``: the num_tx pilot heads — collective-free (each device
+      finishes the MLP for its slice of Tx antennas).
+
+    Args:
+      rx: (B, len_ltf, num_rx) complex64; B % mesh.shape[data] == 0.
+
+    Returns:
+      (h_ls, h_dnn), each (B, C, num_tx, num_rx) complex64 — h_ls
+      replicated over seq/antenna, h_dnn concatenated over the antenna
+      axis, both sharded on B over data.
+    """
+    from mamimo_tpu.models.mlp import factored_heads_apply
+    from mamimo_tpu.ops.ltf import _hadamard_np
+
+    n_seq = mesh.shape[seq_axis]
+    n_ant = mesh.shape[ant_axis]
+    nsym = cfg.num_tx
+    assert nsym % n_seq == 0 and nsym % n_ant == 0
+    loc_sym = nsym // n_seq
+    loc_heads = nsym // n_ant
+    l_loc = loc_sym * cfg.sym_len
+    P_full = jnp.asarray(_hadamard_np(nsym), jnp.float32)    # (T, nltf)
+    ltf = np.asarray(ltf_data_carriers(cfg))
+    carr = np.asarray(cfg.carrier_locations, np.int32)
+
+    def local(p, bn, rx_blk):
+        # rx_blk: (B_loc, loc_sym*sym_len, R) — this device's symbols
+        b, _, r = rx_blk.shape
+        i_seq = jax.lax.axis_index(seq_axis)
+        i_ant = jax.lax.axis_index(ant_axis)
+
+        # ---- LS: partial despread over local symbols, psum over seq
+        x = rx_blk.reshape(b, loc_sym, cfg.sym_len, r)[:, :, cfg.cp_length:]
+        X = jnp.fft.fftshift(jnp.fft.fft(x, axis=2), axes=2)[:, :, carr, :]
+        p_cols = jax.lax.dynamic_slice_in_dim(
+            P_full, i_seq * loc_sym, loc_sym, axis=1)        # (T, loc)
+        part = jnp.einsum("bncr,jn->bcjr", X, p_cols.astype(X.dtype))
+        h_ls = jax.lax.psum(part, seq_axis) / (
+            nsym * ltf).astype(jnp.float32)[None, :, None, None]
+
+        # ---- DNN: partial layer-1 contraction over local signal rows,
+        # psum over seq; pilot heads local to the antenna shard
+        sig2 = jnp.transpose(rx_blk, (0, 2, 1)).reshape(b * r, l_loc)
+        planes = jnp.stack([jnp.real(sig2), jnp.imag(sig2)])
+        pil_rows = jax.lax.dynamic_slice_in_dim(
+            P_full, i_ant * loc_heads, loc_heads, axis=0)    # (loc_h, T)
+
+        def plane_fn(pp, bb, xpl):
+            w1 = pp["dense"][0]["w"]
+            if dtype is not None:
+                w1, xpl = w1.astype(dtype), xpl.astype(dtype)
+            w1_loc = jax.lax.dynamic_slice_in_dim(
+                w1, i_seq * l_loc, l_loc, axis=0)
+            sig_proj = jax.lax.psum(
+                jnp.matmul(xpl, w1_loc,
+                           preferred_element_type=jnp.float32),
+                seq_axis)                                    # (S, H)
+            return factored_heads_apply(tcfg, pp, bb, sig_proj, pil_rows,
+                                        cfg.len_ltf, dtype=dtype)
+
+        y2 = jax.vmap(plane_fn)(p, bn, planes)     # (2, S, loc_h, C)
+        y = jax.lax.complex(y2[0], y2[1])
+        y = y.reshape(b, r, loc_heads, cfg.num_carriers)
+        return h_ls, jnp.transpose(y, (0, 3, 2, 1))
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(data_axis, seq_axis, None)),
+        out_specs=(P(data_axis, None, None, None),
+                   P(data_axis, None, ant_axis, None)),
+        check_vma=False,
+    )
+    return shard(params, bn_state, jnp.asarray(rx, jnp.complex64))
+
+
 # ----------------------------------------------------------------------
 # DP + TP training step
 # ----------------------------------------------------------------------

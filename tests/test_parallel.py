@@ -174,3 +174,28 @@ def test_halo_sharded_channel_conv(small_cfg):
     err2 = (np.linalg.norm(np.asarray(ref) - np.asarray(exact))
             / np.linalg.norm(np.asarray(exact)))
     assert err2 < 5e-2, err2
+
+
+def test_combined_mesh_estimate_matches_single(small_cfg):
+    """The fused LS+DNN estimation over ONE (data x seq x antenna) mesh
+    equals the single-device paths (VERDICT r1 #3: the combined mesh)."""
+    from mamimo_tpu.models.mlp import init_stacked, predict_all_pairs
+    from mamimo_tpu.ops.estimate import ls_estimate_matmul
+    from mamimo_tpu.parallel.sharded import sharded_estimate_combined
+
+    cfg = small_cfg
+    tcfg = TrainConfig(hidden=(64, 64))
+    params, bn = init_stacked(jax.random.PRNGKey(7), cfg, tcfg)
+    ds = generate_dataset(cfg, seed=9, num_packets=4, snr_db=0.0,
+                          chunk=4, fft_size=8192)
+    rx = jnp.asarray(ds.rx)                       # (4, L, R)
+    ref_ls = ls_estimate_matmul(cfg, rx)
+    ref_dnn = predict_all_pairs(cfg, tcfg, params, bn, rx)
+
+    mesh = make_mesh({"data": 2, "seq": 2, "antenna": 2})
+    h_ls, h_dnn = sharded_estimate_combined(cfg, tcfg, mesh, params, bn,
+                                            rx)
+    np.testing.assert_allclose(np.asarray(h_ls), np.asarray(ref_ls),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(h_dnn), np.asarray(ref_dnn),
+                               rtol=2e-4, atol=2e-4)
