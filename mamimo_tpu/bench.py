@@ -109,11 +109,22 @@ def _abs_sum(out):
 def _perturb(rx, s):
     """Perturb the input by a value-visible (~1e-6 relative) function of
     the output reduction — chains iterations so calls serialize and a
-    value-hashing result cache never hits."""
+    value-hashing result cache never hits.
+
+    Only the first 8 rows of the second axis are touched: enough to
+    change the input value (and thus every chained output) each
+    iteration, but ~1 MB of writes instead of a full read+write of the
+    hundreds-of-MB input — a whole-tensor multiply measured 2.4 ms/iter
+    at batch 1024 (scripts/probe_r2b.py), silently inflating every
+    timed path by ~25%."""
     import jax
 
     eps = 1e-6 * s * jax.lax.rsqrt(s * s + 1.0)
-    return rx * (1.0 + eps).astype(rx.dtype)
+    scale = (1.0 + eps).astype(rx.dtype)
+    if rx.ndim < 2:
+        return rx * scale
+    n = min(8, rx.shape[1])
+    return rx.at[:, :n].multiply(scale)
 
 
 def _chained_step(core, extra=(), unroll: int = 1):
@@ -187,7 +198,7 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
         """rx: (B, len_ltf, num_rx) complex64 (or canonical planes when
         from_planes=True)."""
         if from_planes:
-            rx = _planes_to_time_major(rx)
+            rx = _planes_to_time_major(rx, cfg.num_rx)
         b = rx.shape[0]
         if use_pallas:
             h_ls = ls_estimate_pallas(cfg, rx)
@@ -238,22 +249,21 @@ def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
     accumulation, see ls_estimate_planes)."""
     import jax.numpy as jnp
 
-    from mamimo_tpu.models.mlp import predict_all_pairs_planes
+    from mamimo_tpu.models.mlp import predict_all_pairs_planes_flat
     from mamimo_tpu.ops.estimate import ls_estimate_planes, ls_planes_constants
 
     ls_consts = ls_planes_constants(cfg)
 
     def _estimate(p, bn, lsc, planes):
-        """planes: (2, B, num_rx, len_ltf) float32."""
-        _, b, nrx, L = planes.shape
-        flat = planes.reshape(2, b * nrx, L)
+        """planes: FLAT canonical (2, S, len_ltf) float32, S = B·num_rx
+        (sublane-aligned sample axis — see
+        predict_all_pairs_planes_flat)."""
         h_ls = ls_estimate_planes(
-            cfg, flat, lsc,
-            dtype=jnp.bfloat16 if ls_bf16 else None,
-        ).reshape(b, nrx, cfg.num_tx, cfg.num_carriers)
-        h_dnn = predict_all_pairs_planes(
+            cfg, planes, lsc,
+            dtype=jnp.bfloat16 if ls_bf16 else None)   # (S, ntx, C)
+        h_dnn = predict_all_pairs_planes_flat(
             cfg, tcfg, p, bn, planes,
-            dtype=jnp.bfloat16 if use_bf16 else None)
+            dtype=jnp.bfloat16 if use_bf16 else None)  # (S, ntx, C)
         return h_ls, h_dnn
 
     return _chained_step(_estimate, (params, bn_state, ls_consts),
@@ -270,9 +280,12 @@ def make_estimation_fn_pallas_factored(cfg, tcfg, params, bn_state,
     Weight folding (BN affines, pilot-head biases, bf16 casts) happens
     ONCE here — it is per-weight-set deploy work, not per-batch work.
     Returns a chained timing step on canonical planes input."""
+    import jax
+    import jax.numpy as jnp
+
     from mamimo_tpu.ops.estimate import ls_estimate_planes, ls_planes_constants
     from mamimo_tpu.ops.pallas import (
-        predict_all_pairs_planes_pallas,
+        fused_factored_planes,
         prepare_factored_weights,
     )
 
@@ -280,24 +293,28 @@ def make_estimation_fn_pallas_factored(cfg, tcfg, params, bn_state,
     prepared = prepare_factored_weights(cfg, tcfg, params, bn_state)
 
     def _estimate(prep, lsc, planes):
-        """planes: (2, B, num_rx, len_ltf) float32."""
-        _, b, nrx, L = planes.shape
-        flat = planes.reshape(2, b * nrx, L)
-        h_ls = ls_estimate_planes(cfg, flat, lsc).reshape(
-            b, nrx, cfg.num_tx, cfg.num_carriers)
-        h_dnn = predict_all_pairs_planes_pallas(
-            cfg, tcfg, prep, planes, block_s=block_s, block_k=block_k)
+        """planes: FLAT canonical (2, S, len_ltf) float32."""
+        h_ls = ls_estimate_planes(cfg, planes, lsc)      # (S, ntx, C)
+        y = fused_factored_planes(cfg, tcfg, prep, planes,
+                                  block_s=block_s, block_k=block_k)
+        # kernel output is head-major (2, ntx, S, C); complexify + match
+        # the (S, ntx, C) convention inside the timed step
+        h_dnn = jax.lax.complex(
+            y[0].astype(jnp.float32), y[1].astype(jnp.float32)
+        ).swapaxes(0, 1)
         return h_ls, h_dnn
 
     return _chained_step(_estimate, (prepared, ls_consts), unroll=unroll)
 
 
-def _planes_to_time_major(planes):
-    """(2, B, R, L) planes -> (B, L, R) complex64 (inside jit)."""
+def _planes_to_time_major(planes, num_rx):
+    """FLAT (2, S, L) planes -> (B, L, R) complex64 (inside jit)."""
     import jax
     import jax.numpy as jnp
 
-    rx = jax.lax.complex(planes[0], planes[1])        # (B, R, L)
+    rx = jax.lax.complex(planes[0], planes[1])        # (S, L)
+    s, L = rx.shape
+    rx = rx.reshape(s // num_rx, num_rx, L)           # (B, R, L)
     return jnp.transpose(rx, (0, 2, 1))
 
 
@@ -363,14 +380,16 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     params, bn_state = init_stacked(key, cfg, tcfg)
 
     # synthetic received preambles (content doesn't affect timing), in
-    # the CANONICAL raw layout: rx-major float32 planes (2, B, R, L) —
-    # what the dataset pipeline stores and every loader emits. Paths
-    # that want other layouts (complex, time-major) pay the conversion
-    # INSIDE their timed step.
+    # the CANONICAL raw layout: FLAT rx-major float32 planes (2, S, L),
+    # S = B*num_rx — what the dataset pipeline stores and every loader
+    # emits. The sample axis stays sublane-aligned (multiple of 8); a
+    # (2, B, 4, L) form pads its size-4 sublane dim to 8 and doubles HBM
+    # traffic (probe_r2b). Paths that want other layouts (complex,
+    # time-major) pay the conversion INSIDE their timed step.
     @jax.jit
     def _mk_planes(k):
         return jax.random.normal(
-            k, (2, batch_packets, cfg.num_rx, cfg.len_ltf))
+            k, (2, batch_packets * cfg.num_rx, cfg.len_ltf))
 
     planes = _mk_planes(key)
     n_est = batch_packets * cfg.num_tx * cfg.num_rx
@@ -409,7 +428,7 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     def _tm_core(p, bn, c, pl_in):
         from mamimo_tpu.models.mlp import predict_all_pairs
 
-        rx = _planes_to_time_major(pl_in)
+        rx = _planes_to_time_major(pl_in, cfg.num_rx)
         h_ls = ls_estimate_matmul(cfg, rx, c)
         h_dnn = predict_all_pairs(cfg, tcfg, p, bn, rx, dtype=jnp.bfloat16)
         return h_ls, h_dnn
@@ -419,15 +438,14 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
 
     # LS-only paths
     timings["ls_planes"] = _time_fn(
-        _chained_step(lambda c, pl_in: ls_estimate_planes(
-            cfg, pl_in.reshape(2, -1, cfg.len_ltf), c), (lsp,)),
+        _chained_step(lambda c, pl_in: ls_estimate_planes(cfg, pl_in, c), (lsp,)),
         planes, iters)
     timings["ls_fft"] = _time_fn(
         _chained_step(lambda pl_in: estimate_from_rx(
-            cfg, _planes_to_time_major(pl_in))[0]), planes, iters)
+            cfg, _planes_to_time_major(pl_in, cfg.num_rx))[0]), planes, iters)
     timings["ls_matmul"] = _time_fn(
         _chained_step(lambda c, pl_in: ls_estimate_matmul(
-            cfg, _planes_to_time_major(pl_in), c), (lsc,)),
+            cfg, _planes_to_time_major(pl_in, cfg.num_rx), c), (lsc,)),
         planes, iters)
     if on_tpu:
         # each pallas path in its own guard: one failed Mosaic compile
@@ -448,7 +466,7 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
                                         from_planes=True))
         _try("ls_pallas",
              lambda: _chained_step(lambda pl_in: ls_estimate_pallas(
-                 cfg, _planes_to_time_major(pl_in))))
+                 cfg, _planes_to_time_major(pl_in, cfg.num_rx))))
 
     FULL_PATHS = ("pallas_factored", "pallas_full", "xla_planes",
                   "xla_planes_bf16", "xla_planes_bf16_bf16ls",

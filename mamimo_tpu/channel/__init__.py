@@ -13,6 +13,7 @@ from mamimo_tpu.channel.scattering import (  # noqa: F401
     make_scenario,
     realize_channel,
     apply_channel,
+    apply_channel_model,
     analytic_subcarrier_channel,
     steering_vectors,
     fspl_db,

@@ -146,10 +146,12 @@ def realize_channel(cfg: SimConfig, key, scen: Scenario) -> ChannelRealization:
     line; every consumer (sounding, closed-loop regeneration, halo conv)
     sees the same ``ChannelRealization`` interface.
     """
-    if cfg.channel_model != "scattering":
+    if cfg.channel_model not in ("scattering", "fir"):
         from mamimo_tpu.channel.cdl import realize_cdl
 
         return realize_cdl(cfg, key, scen)
+    # 'fir' shares the one-ring realization; only the application
+    # differs (apply_channel_model)
     return realize_scattering(cfg, key, scen)
 
 
@@ -226,6 +228,28 @@ def apply_channel(
     yf = jnp.einsum("fm,fmn->fn", xf, hf)
     y = jnp.fft.ifft(yf, axis=0)[:nsamp]
     return y.astype(jnp.complex64)
+
+
+def apply_channel_model(cfg: SimConfig, sig, chan: ChannelRealization,
+                        fft_size: int = 16384):
+    """Channel application dispatched on ``cfg.channel_model``:
+
+    * 'fir' — banded tapped-FIR filtering (sinc fractional-delay
+      interpolated taps, parallel/halo.py), the TPU-native counterpart
+      of the reference's ``comm.MIMOChannel`` 'MIMO' alternate path
+      (helperApplyMUChannel.m:145-185);
+    * everything else — the exact frequency-domain phase-ramp form
+      (apply_channel; scattering and CDL realizations share it).
+    """
+    if cfg.channel_model == "fir":
+        from mamimo_tpu.parallel.halo import (
+            apply_channel_taps,
+            channel_taps,
+        )
+
+        taps = channel_taps(cfg, chan, n_taps=cfg.fir_taps)
+        return apply_channel_taps(jnp.asarray(sig, jnp.complex64), taps)
+    return apply_channel(cfg, sig, chan, fft_size=fft_size)
 
 
 def analytic_subcarrier_channel(

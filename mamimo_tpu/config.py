@@ -57,10 +57,14 @@ class SimConfig:
 
     # --- channel model (channel/scattering.py vs channel/cdl.py) ---
     # 'scattering' = the reference's one-ring scatterer model
-    # (phased.ScatteringMIMOChannel); 'cdl_nlos'/'cdl_los' = clustered
+    # (phased.ScatteringMIMOChannel), applied exactly in the frequency
+    # domain; 'fir' = the same one-ring realization applied as a banded
+    # tapped FIR filter (the comm.MIMOChannel 'MIMO' alternate path,
+    # helperApplyMUChannel.m:145-185); 'cdl_nlos'/'cdl_los' = clustered
     # delay line in the 3GPP TR 38.901 §7.7.1 structure (BASELINE.json
     # "CDL-style channel realizations").
     channel_model: str = "scattering"
+    fir_taps: int = 512                # FIR length for 'fir' [samples]
     cdl_delay_spread: float = 100e-9   # CDL delay-spread scaling [s]
     cdl_k_factor_db: float = 9.0       # Ricean K for the 'cdl_los' profile
 

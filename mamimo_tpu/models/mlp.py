@@ -262,6 +262,24 @@ def _factored_all_pairs(cfg: SimConfig, tcfg: TrainConfig, params,
     )(params, bn_state, planes)                      # (2, S, ntx, C)
 
 
+def predict_all_pairs_planes_flat(cfg: SimConfig, tcfg: TrainConfig,
+                                  params, bn_state, planes, dtype=None):
+    """Factored all-pairs inference from FLAT canonical planes — the
+    TPU-native storage layout (2, S, len_ltf) with S = B·num_rx: the
+    sample axis stays a multiple of 8 (sublane-aligned), unlike a
+    (2, B, num_rx=4, L) form whose size-4 sublane dim pads to 8 and
+    DOUBLES the HBM footprint/traffic of every touch (measured: a bare
+    read+write of the 4-D form ran 3× slower than the flat form at
+    batch 1024, scripts/probe_r2b.py).
+
+    Returns:
+      (S, num_tx, num_carriers) complex64.
+    """
+    y2 = _factored_all_pairs(cfg, tcfg, params, bn_state, planes,
+                             dtype=dtype)
+    return jax.lax.complex(y2[0], y2[1])
+
+
 def predict_all_pairs_planes(cfg: SimConfig, tcfg: TrainConfig, params,
                              bn_state, rx_planes, dtype=None):
     """Factored all-pairs inference from canonical rx-major planes.
@@ -273,9 +291,9 @@ def predict_all_pairs_planes(cfg: SimConfig, tcfg: TrainConfig, params,
       (B, num_rx, num_tx, num_carriers) complex64 (rx-major layout).
     """
     _, b, nrx, L = rx_planes.shape
-    y2 = _factored_all_pairs(cfg, tcfg, params, bn_state,
-                             rx_planes.reshape(2, b * nrx, L), dtype=dtype)
-    y = (y2[0] + 1j * y2[1]).astype(jnp.complex64)
+    y = predict_all_pairs_planes_flat(
+        cfg, tcfg, params, bn_state, rx_planes.reshape(2, b * nrx, L),
+        dtype=dtype)
     return y.reshape(b, nrx, cfg.num_tx, cfg.num_carriers)
 
 

@@ -283,11 +283,8 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
     """
     import optax
 
-    from mamimo_tpu.models.mlp import (
-        init_stacked,
-        preprocess_input,
-        stacked_apply,
-    )
+    from mamimo_tpu.models.mlp import init_stacked
+    from mamimo_tpu.train.loop import make_batch_update
 
     opt = optax.scale_by_adam()
     batch_sh = NamedSharding(mesh, P(None, data_axis))
@@ -301,42 +298,16 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
         opt_state = opt.init(params)
         return params, bn_state, opt_state
 
-    def loss_fn(params, bn_state, x2, pilot, y2, rng):
-        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
-        pred, new_bn = stacked_apply(
-            tcfg, params, bn_state, xin, train=True, rng=rng
-        )
-        per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))
-        return jnp.sum(per_dim), (per_dim, new_bn)
-
-    levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step_fn(params, bn_state, opt_state, x2, pilot, y2, key, lr):
-        if tcfg.method == "default_snr":
-            k_snr, k_noise, key = jax.random.split(key, 3)
-            lev = levels[jax.random.randint(k_snr, (2,), 0, len(levels))]
-            npow = avg_sig_pow / (10.0 ** (lev / 10.0))
-            std = jnp.sqrt(npow) / jnp.sqrt(2.0)
-            noise = jax.random.normal(k_noise, x2.shape)
-            x2 = x2 + noise * std[:, None, None]
+    def constrain(x2, pilot, y2):
         x2 = jax.lax.with_sharding_constraint(x2, batch_sh)
         y2 = jax.lax.with_sharding_constraint(y2, batch_sh)
         pilot = jax.lax.with_sharding_constraint(pilot, pilot_sh)
-        (_, (per_dim, new_bn)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, bn_state, x2, pilot, y2, key)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        from mamimo_tpu.train.loop import (
-            _mask_bn,
-            _mask_updates,
-            _plane_mask,
-        )
-        updates = _mask_updates(
-            jax.tree.map(lambda u: -lr * u, updates),
-            _plane_mask(tcfg))
-        params = optax.apply_updates(params, updates)
-        new_bn = _mask_bn(new_bn, bn_state, _plane_mask(tcfg))
-        return params, new_bn, opt_state, per_dim
+        return x2, pilot, y2
 
+    # the one shared step semantics (train/loop.py::make_batch_update);
+    # the mesh path only adds the batch sharding constraints — XLA then
+    # inserts the DP gradient allreduce / TP reduce-scatter pairs
+    update, _ = make_batch_update(cfg, tcfg, avg_sig_pow, opt,
+                                  constrain=constrain)
+    step_fn = functools.partial(jax.jit, donate_argnums=(0, 1, 2))(update)
     return init_fn, step_fn

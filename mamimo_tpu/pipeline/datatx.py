@@ -22,7 +22,7 @@ from mamimo_tpu.channel.noise import sync_slice
 from mamimo_tpu.channel.scattering import (
     ChannelRealization,
     Scenario,
-    apply_channel,
+    apply_channel_model,
     array_positions,
     steering_vectors,
 )
@@ -128,7 +128,7 @@ def run_data_transmission(
     sig_pad = jnp.concatenate(
         [pre_sound, pad, tx_sig, jnp.zeros_like(pad)], axis=0
     )
-    faded = apply_channel(cfg, sig_pad, chan, fft_size=fft_size)
+    faded = apply_channel_model(cfg, sig_pad, chan, fft_size=fft_size)
     faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros :]
 
     # --- receiver (:538-640, shared with the multi-user loop) ---
@@ -271,7 +271,7 @@ def run_data_transmission_mu(
     for u in range(u_cnt):
         scen_u = Scenario(*[x[u] for x in scens])
         chan_u = jax.tree.map(lambda x, u=u: x[u], chans)
-        faded = apply_channel(cfg, sig_pad, chan_u, fft_size=fft_size)
+        faded = apply_channel_model(cfg, sig_pad, chan_u, fft_size=fft_size)
         faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros:]
 
         results.append(_receive_and_decode(

@@ -23,7 +23,7 @@ from mamimo_tpu.channel.noise import (
 from mamimo_tpu.channel.scattering import (
     ChannelRealization,
     Scenario,
-    apply_channel,
+    apply_channel_model,
     realize_channel,
 )
 from mamimo_tpu.ops.estimate import lmmse_estimate, ls_estimate
@@ -95,7 +95,7 @@ def sound_packet(
     k_chan, k_noise, k_perf = jax.random.split(key, 3)
     chan = realize_channel(cfg, k_chan, scen)
     sig = pad_signal(cfg, preamble)
-    faded = apply_channel(cfg, sig, chan, fft_size=fft_size)
+    faded = apply_channel_model(cfg, sig, chan, fft_size=fft_size)
 
     gain_db = scen.sp_loss_db
     if noise_mode == "snr":

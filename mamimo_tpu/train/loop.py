@@ -136,56 +136,30 @@ def _mask_bn(new_bn, old_bn, mask):
         new_bn, old_bn)
 
 
-def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
-                          opt):
-    """Train/eval steps taking materialized (x2, pilot, y2) batches —
-    the host-streaming path fed by the native C++ loader."""
-    levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
-    pmask = _plane_mask(tcfg)
+def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
+                      constrain=None):
+    """The ONE source of truth for an optimizer step on a materialized
+    (x2, pilot, y2) batch — shared by every training path (array /
+    in-jit-gather / scanned multi-step / DP+TP sharded), so a semantic
+    fix lands everywhere at once.
 
-    def loss_fn(params, bn_state, x2, pilot, y2, rng):
-        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
-        pred, new_bn = stacked_apply(
-            tcfg, params, bn_state, xin, train=True, rng=rng
-        )
-        per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))
-        return jnp.sum(per_dim), (per_dim, new_bn)
+    The step: per-plane AWGN draw at a random SNR level (the
+    ``changeNoisePower`` callback + GaussianNoise layer of
+    massiveMIMO_CSI_prediction_DNN.py:86-102,191-193 fused into the
+    step), value_and_grad of the stacked-MLP MSE, optimizer update with
+    the --onlyReal/--onlyImag plane mask applied to both weight updates
+    and BN statistics.
 
-    @jax.jit
-    def train_step(params, bn_state, opt_state, x2, pilot, y2, key, lr):
-        if tcfg.method == "default_snr":
-            k_snr, k_noise, k_drop = jax.random.split(key, 3)
-            lev = levels[jax.random.randint(k_snr, (2,), 0, len(levels))]
-            npow = avg_sig_pow / (10.0 ** (lev / 10.0))
-            std = jnp.sqrt(npow) / jnp.sqrt(2.0)
-            noise = jax.random.normal(k_noise, x2.shape)
-            x2 = x2 + noise * std[:, None, None]
-        else:
-            k_drop = key
-        (loss, (per_dim, new_bn)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, bn_state, x2, pilot, y2, k_drop)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        updates = _mask_updates(
-            jax.tree.map(lambda u: -lr * u, updates), pmask)
-        params = optax.apply_updates(params, updates)
-        new_bn = _mask_bn(new_bn, bn_state, pmask)
-        return params, new_bn, opt_state, per_dim
+    Args:
+      constrain: optional fn (x2, pilot, y2) -> same, applied after the
+        noise draw — the sharded path injects with_sharding_constraint
+        here.
 
-    @jax.jit
-    def eval_step(params, bn_state, x2, pilot, y2):
-        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
-        pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
-        return jnp.mean((pred - y2) ** 2, axis=(1, 2))
-
-    return train_step, eval_step
-
-
-def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
-                    opt):
-    # `data` is passed through as a jit argument (device arrays), not
-    # captured — closure capture would embed the whole dataset as
-    # constants in the executable (and trips the axon TPU backend).
+    Returns (update, eval_core):
+      update(params, bn_state, opt_state, x2, pilot, y2, key, lr)
+        -> (params, bn_state, opt_state, per_plane_loss)   [un-jitted]
+      eval_core(params, bn_state, x2, pilot, y2) -> per-plane MSE
+    """
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
     pmask = _plane_mask(tcfg)
 
@@ -197,22 +171,20 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
         per_dim = jnp.mean((pred - y2) ** 2, axis=(1, 2))   # (2,)
         return jnp.sum(per_dim), (per_dim, new_bn)
 
-    @jax.jit
-    def _train_step(data, params, bn_state, opt_state, idx, key, lr):
-        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+    def update(params, bn_state, opt_state, x2, pilot, y2, key, lr):
         if tcfg.method == "default_snr":
             k_snr, k_noise, k_drop = jax.random.split(key, 3)
             # independent per-plane SNR draw (two independent Keras fits)
-            lev = levels[
-                jax.random.randint(k_snr, (2,), 0, len(levels))
-            ]
+            lev = levels[jax.random.randint(k_snr, (2,), 0, len(levels))]
             npow = avg_sig_pow / (10.0 ** (lev / 10.0))      # (2,)
             std = jnp.sqrt(npow) / jnp.sqrt(2.0)
             noise = jax.random.normal(k_noise, x2.shape)
             x2 = x2 + noise * std[:, None, None]
         else:
             k_drop = key
-        (loss, (per_dim, new_bn)), grads = jax.value_and_grad(
+        if constrain is not None:
+            x2, pilot, y2 = constrain(x2, pilot, y2)
+        (_, (per_dim, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, bn_state, x2, pilot, y2, k_drop)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -221,6 +193,34 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
         params = optax.apply_updates(params, updates)
         new_bn = _mask_bn(new_bn, bn_state, pmask)
         return params, new_bn, opt_state, per_dim
+
+    def eval_core(params, bn_state, x2, pilot, y2):
+        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
+        pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
+        return jnp.mean((pred - y2) ** 2, axis=(1, 2))
+
+    return update, eval_core
+
+
+def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
+                          opt):
+    """Train/eval steps taking materialized (x2, pilot, y2) batches —
+    the host-streaming path fed by the native C++ loader."""
+    update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt)
+    return jax.jit(update), jax.jit(eval_core)
+
+
+def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
+                    opt):
+    # `data` is passed through as a jit argument (device arrays), not
+    # captured — closure capture would embed the whole dataset as
+    # constants in the executable (and trips the axon TPU backend).
+    update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt)
+
+    @jax.jit
+    def _train_step(data, params, bn_state, opt_state, idx, key, lr):
+        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        return update(params, bn_state, opt_state, x2, pilot, y2, key, lr)
 
     @jax.jit
     def _train_multi(data, params, bn_state, opt_state, idx2, keys, lr):
@@ -231,26 +231,9 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
             params, bn_state, opt_state = carry
             idx, key = inp
             x2, pilot, y2 = _gather_batch(cfg, data, idx)
-            if tcfg.method == "default_snr":
-                k_snr, k_noise, k_drop = jax.random.split(key, 3)
-                lev = levels[
-                    jax.random.randint(k_snr, (2,), 0, len(levels))
-                ]
-                npow = avg_sig_pow / (10.0 ** (lev / 10.0))
-                std = jnp.sqrt(npow) / jnp.sqrt(2.0)
-                noise = jax.random.normal(k_noise, x2.shape)
-                x2 = x2 + noise * std[:, None, None]
-            else:
-                k_drop = key
-            (_, (per_dim, new_bn)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, bn_state, x2, pilot, y2, k_drop)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            updates = _mask_updates(
-            jax.tree.map(lambda u: -lr * u, updates), pmask)
-            params = optax.apply_updates(params, updates)
-            new_bn = _mask_bn(new_bn, bn_state, pmask)
-            return (params, new_bn, opt_state), per_dim
+            params, bn_state, opt_state, per_dim = update(
+                params, bn_state, opt_state, x2, pilot, y2, key, lr)
+            return (params, bn_state, opt_state), per_dim
 
         (params, bn_state, opt_state), per = jax.lax.scan(
             body, (params, bn_state, opt_state), (idx2, keys)
@@ -260,9 +243,7 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
     @jax.jit
     def _eval_step(data, params, bn_state, idx):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
-        xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
-        pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
-        return jnp.mean((pred - y2) ** 2, axis=(1, 2))
+        return eval_core(params, bn_state, x2, pilot, y2)
 
     def train_step(params, bn_state, opt_state, idx, key, lr):
         return _train_step(data, params, bn_state, opt_state, idx, key, lr)
@@ -302,8 +283,8 @@ def fit(
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
     if mesh is not None:
-        assert not host_stream and not resume, (
-            "mesh-parallel fit does not combine with host_stream/resume"
+        assert not host_stream, (
+            "mesh-parallel fit does not combine with host_stream"
         )
 
     if host_stream:
@@ -384,11 +365,34 @@ def fit(
             resumed_best = None
 
     if mesh is not None:
-        from mamimo_tpu.parallel.sharded import make_sharded_train_step
+        from mamimo_tpu.parallel.sharded import (
+            make_sharded_train_step,
+            param_shardings,
+        )
 
         init_fn, sh_step = make_sharded_train_step(
             cfg, tcfg, mesh, avg_sig_pow=avg_sig_pow)
-        params, bn_state, opt_state = init_fn(k_init)
+        if start_epoch > 0:
+            # resume on the mesh: re-place the checkpointed host arrays
+            # with the same shardings a fresh init would use
+            host_p, host_b, host_o = params, bn_state, opt_state
+            p_sh, bn_sh = param_shardings(mesh, host_p, host_b)
+            params = jax.tree.map(jax.device_put, host_p, p_sh)
+            bn_state = jax.tree.map(jax.device_put, host_b, bn_sh)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            like = opt.init(params)   # inherits the param shardings
+            rep = NamedSharding(mesh, _P())
+
+            def _replace(lk, v):
+                sh = (lk.sharding if isinstance(lk.sharding, NamedSharding)
+                      else rep)     # scalars (e.g. adam count): replicate
+                return jax.device_put(v, sh)
+
+            opt_state = jax.tree.map(_replace, like, host_o)
+        else:
+            params, bn_state, opt_state = init_fn(k_init)
         _, arr_eval_step = make_array_train_step(cfg, tcfg, avg_sig_pow,
                                                  opt)
         rx_np = train_ds.rx

@@ -29,7 +29,7 @@ from mamimo_tpu.bench import (                                # noqa: E402
 from mamimo_tpu.config import SimConfig, TrainConfig          # noqa: E402
 from mamimo_tpu.models.mlp import (                           # noqa: E402
     init_stacked,
-    predict_all_pairs_planes,
+    predict_all_pairs_planes_flat,
 )
 from mamimo_tpu.ops.estimate import (                         # noqa: E402
     ls_estimate_planes,
@@ -45,7 +45,8 @@ def main(batch=1024, unroll=4, iters=5):
 
     @jax.jit
     def _mk(k):
-        return jax.random.normal(k, (2, batch, cfg.num_rx, cfg.len_ltf))
+        return jax.random.normal(
+            k, (2, batch * cfg.num_rx, cfg.len_ltf))
 
     planes = _mk(key)
     n_est = batch * cfg.num_tx * cfg.num_rx
@@ -65,18 +66,18 @@ def main(batch=1024, unroll=4, iters=5):
     run(f"noop_u{U}", _chained_step(lambda p: p, unroll=U), per_call=U)
     run(f"ls_f32_u{U}", _chained_step(
         lambda c, p: ls_estimate_planes(
-            cfg, p.reshape(2, -1, cfg.len_ltf), c), (lsp,), unroll=U),
+            cfg, p, c), (lsp,), unroll=U),
         per_call=U)
     run(f"ls_bf16_u{U}", _chained_step(
         lambda c, p: ls_estimate_planes(
-            cfg, p.reshape(2, -1, cfg.len_ltf), c, dtype=jnp.bfloat16),
+            cfg, p, c, dtype=jnp.bfloat16),
         (lsp,), unroll=U), per_call=U)
     run(f"dnn_bf16_u{U}", _chained_step(
-        lambda pp, bb, p: predict_all_pairs_planes(
+        lambda pp, bb, p: predict_all_pairs_planes_flat(
             cfg, tcfg, pp, bb, p, dtype=jnp.bfloat16),
         (params, bn), unroll=U), per_call=U)
     run(f"dnn_f32_u{U}", _chained_step(
-        lambda pp, bb, p: predict_all_pairs_planes(
+        lambda pp, bb, p: predict_all_pairs_planes_flat(
             cfg, tcfg, pp, bb, p, dtype=None),
         (params, bn), unroll=U), per_call=U)
     run(f"full_bf16_u{U}", make_estimation_fn_planes(

@@ -164,3 +164,33 @@ def test_sounding_vmap(small_cfg):
     assert h.shape == (3, cfg.num_carriers, cfg.num_tx, cfg.num_rx)
     assert snr.shape == (3, cfg.num_rx)
     assert np.all(np.isfinite(np.asarray(h).view(np.float32)))
+
+
+def test_fir_channel_model_first_class(small_cfg):
+    """channel_model='fir' (the comm.MIMOChannel 'MIMO' alternate path,
+    helperApplyMUChannel.m:145-185) routes sounding through the tapped
+    FIR application and matches the exact phase-ramp model to
+    band-limitation tolerance — same realization, same physics."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from mamimo_tpu.ops.metrics import nmse_subk
+    from mamimo_tpu.pipeline.sounding import sound_packet
+    from mamimo_tpu.channel.scattering import make_scenario
+
+    cfg = small_cfg
+    cfg_fir = dataclasses.replace(cfg, channel_model="fir")
+    scen = make_scenario(cfg, jax.random.PRNGKey(42))
+    res, _ = sound_packet(cfg, jax.random.PRNGKey(1), scen,
+                          snr_db=120.0, fft_size=8192)
+    res_f, _ = sound_packet(cfg_fir, jax.random.PRNGKey(1), scen,
+                            snr_db=120.0, fft_size=8192)
+    a = np.asarray(res.h_ls)
+    b = np.asarray(res_f.h_ls)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 2e-3, rel
+    # and the noiseless LS physics oracle still holds on the FIR path
+    nm = 10 * np.log10(float(nmse_subk(res_f.h_perfect, res_f.h_ls)))
+    assert nm < -55.0, nm

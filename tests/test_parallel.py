@@ -199,3 +199,28 @@ def test_combined_mesh_estimate_matches_single(small_cfg):
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(h_dnn), np.asarray(ref_dnn),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fit_with_mesh_resume(small_cfg, tmp_path):
+    """fit(mesh=...) resumes from a checkpoint: the resumed run re-places
+    the saved host state with the mesh shardings and continues."""
+    from mamimo_tpu.config import TrainConfig
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+    from mamimo_tpu.train.loop import fit
+
+    cfg = small_cfg
+    ds = generate_dataset(cfg, seed=22, num_packets=8, snr_db=120.0,
+                          chunk=4, fft_size=8192)
+    mesh = make_mesh({"data": 4, "model": 2})
+    wd = str(tmp_path / "wd")
+
+    t1 = TrainConfig(hidden=(64, 64), batch_size=16, epochs=1,
+                     early_stop_patience=50, seed=0)
+    fit(cfg, t1, ds, verbose=False, mesh=mesh, workdir=wd)
+    t2 = TrainConfig(hidden=(64, 64), batch_size=16, epochs=3,
+                     early_stop_patience=50, seed=0)
+    res = fit(cfg, t2, ds, verbose=False, mesh=mesh, workdir=wd,
+              resume=True)
+    assert res.epochs_ran == 3
+    assert len(res.history["loss_real"]) == 3       # spliced history
+    assert np.all(np.isfinite(res.best_val))
