@@ -28,7 +28,7 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scatterers", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--channel-model", default="scattering",
-                   choices=["scattering", "cdl_nlos", "cdl_los"])
+                   choices=["scattering", "fir", "cdl_nlos", "cdl_los"])
     p.add_argument("--cdl-delay-spread", type=float, default=100e-9,
                    help="CDL delay-spread scaling in seconds")
 
@@ -193,6 +193,24 @@ def cmd_sweep(args) -> None:
     from mamimo_tpu.eval.snr_sweep import plot_sweep, run_snr_sweep
 
     cfg = _sim_cfg(args)
+    if args.num_users > 1:
+        # multi-user closed loop: JSDM precoding + per-user decode
+        import dataclasses
+        import json
+
+        from mamimo_tpu.eval.snr_sweep import run_mu_snr_sweep
+
+        cfg = dataclasses.replace(cfg, num_users=args.num_users)
+        res = run_mu_snr_sweep(
+            cfg, snr_levels=args.snr, num_packets=args.packets,
+            seed=args.seed, chunk=min(args.chunk, 8),
+        )
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "mu_sweep.json")
+        with open(path, "w") as f:
+            json.dump(res, f, indent=2)
+        print(f"[sweep] wrote {path}")
+        return
     predictor = _make_predictor(args.modeldir) if args.modeldir else None
     res = run_snr_sweep(
         cfg, snr_levels=args.snr, num_packets=args.packets, seed=args.seed,
@@ -319,6 +337,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--closed-loop", action="store_true")
     s.add_argument("--cl-packets", type=int, default=50)
     s.add_argument("--chunk", type=int, default=16)
+    s.add_argument("--num-users", type=int, default=1,
+                   help=">1 runs the multi-user JSDM closed-loop sweep")
     s.add_argument("-o", "--out", required=True)
     s.set_defaults(fn=cmd_sweep)
 

@@ -176,3 +176,90 @@ def plot_sweep(result: SweepResult, outdir: str) -> None:
     plot(result.ber, "BER", "Bit error rate (BER)", logy=True)
     plot(result.evm, "EVM", "EVM RMS (%)", logy=False)
     plot(result.bf_gain, "BeamformGain", "Beamforming gain (dB)", logy=False)
+
+
+def run_mu_snr_sweep(
+    cfg: SimConfig,
+    snr_levels: Sequence[float],
+    num_packets: int,
+    seed: int = 0,
+    sources: Sequence[str] = ("ls", "perfect"),
+    fft_size: int = 16384,
+    chunk: int = 8,
+    verbose: bool = True,
+) -> dict:
+    """Multi-user closed-loop sweep (the numUsers>1 branch the CLI now
+    reaches, generate_maMIMO_LTF.m:427-440,531-640): per SNR level,
+    sound `num_packets` packets to all users, JSDM-precode from each CSI
+    source, decode every user, and aggregate per-(source, user)
+    BER/EVM/BF-gain with 95% CIs. The (packet × user) grid is one
+    vmapped program per chunk.
+
+    Note: JSDM block-diagonalization assumes spatially separable users
+    (as does the MathWorks example this re-derives). For nearly
+    collinear placements the interference null eats the own-signal gain
+    and closed-loop results become placement-dominated — pick the seed
+    (user placement) accordingly (see tests/test_multiuser.py fixture).
+
+    Returns a JSON-ready dict
+      {"snr": [...], "num_users": U,
+       "sources": {src: {"ber": [[per-user]...], "evm": ..,
+                         "bf_gain": .., "ber_ci": ..}}}
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mamimo_tpu.pipeline.datatx import run_data_transmission_mu
+    from mamimo_tpu.pipeline.multiuser import make_scenarios, sound_packet_mu
+
+    assert cfg.num_users > 1, "run_mu_snr_sweep needs num_users > 1"
+    srcs = tuple(sources)
+    base = jax.random.PRNGKey(seed)
+    scens = make_scenarios(cfg, base)
+    with_mmse = "lmmse" in srcs
+
+    def one_packet(k, snr):
+        res, chans = sound_packet_mu(cfg, k, scens, snr_db=snr,
+                                     with_mmse=with_mmse,
+                                     fft_size=fft_size)
+        pools = {"ls": res.h_ls, "perfect": res.h_perfect,
+                 "lmmse": res.h_mmse}
+        return {
+            s: run_data_transmission_mu(
+                cfg, jax.random.fold_in(k, 77), scens, chans, pools[s],
+                res.noise_db, res.snr_cs, fft_size=fft_size)
+            for s in srcs
+        }
+
+    run_chunk = jax.jit(jax.vmap(one_packet, in_axes=(0, None)))
+
+    out = {"snr": list(map(float, snr_levels)),
+           "num_users": cfg.num_users,
+           "sources": {s: {"ber": [], "evm": [], "bf_gain": [],
+                           "ber_ci": []} for s in srcs}}
+    for snr in snr_levels:
+        accum = {s: {"ber": [], "evm": [], "bf": []} for s in srcs}
+        for start in range(0, num_packets, chunk):
+            n = min(chunk, num_packets - start)
+            keys = jax.vmap(
+                lambda p: jax.random.fold_in(base, 10_000 + p)
+            )(jnp.arange(start, start + n))
+            r = run_chunk(keys, float(snr))
+            for s in srcs:
+                accum[s]["ber"].append(np.asarray(r[s].ber))   # (n, U)
+                accum[s]["evm"].append(np.asarray(r[s].evm))
+                accum[s]["bf"].append(np.asarray(r[s].bf_gain))
+        for s in srcs:
+            ber = np.concatenate(accum[s]["ber"])              # (P, U)
+            evm = np.concatenate(accum[s]["evm"])
+            bf = np.concatenate(accum[s]["bf"])
+            out["sources"][s]["ber"].append(ber.mean(0).tolist())
+            out["sources"][s]["evm"].append(evm.mean(0).tolist())
+            out["sources"][s]["bf_gain"].append(bf.mean(0).tolist())
+            out["sources"][s]["ber_ci"].append(
+                [list(compute_ci(ber[:, u])) for u in range(ber.shape[1])])
+        if verbose:
+            print(f"[mu-sweep] SNR {snr:+.0f} dB: " + "  ".join(
+                f"{s} BER {np.mean(out['sources'][s]['ber'][-1]):.4f}"
+                for s in srcs))
+    return out

@@ -117,18 +117,24 @@ def ls_matmul_constants_rxmajor(cfg: SimConfig):
     return ls_matmul_constants(cfg, padded=True)
 
 
-def ls_planes_constants(cfg: SimConfig):
+def ls_planes_constants(cfg: SimConfig, dtype=None):
     """Trace-time constants for ls_estimate_planes: (At_r, At_i, P) with
     At = dft_selected_padded_np(cfg).T as separate float32 planes
     (sym_len, C) — the planes path never builds complex arrays from the
-    rx batch, so the DFT matrix is pre-split too."""
+    rx batch, so the DFT matrix is pre-split too.
+
+    dtype pre-casts the DFT planes (e.g. bfloat16) — pass pre-cast
+    constants as jit arguments rather than casting inside the graph:
+    with --xla_allow_excess_precision (set by the TPU runtime) XLA may
+    elide in-graph downcasts and silently run the f32 matmul."""
     import numpy as np
 
     from mamimo_tpu.ops.ltf import _hadamard_np
 
     at = dft_selected_padded_np(cfg).T                 # (sym_len, C)
-    return (jnp.asarray(np.real(at), jnp.float32),
-            jnp.asarray(np.imag(at), jnp.float32),
+    dt = dtype or jnp.float32
+    return (jnp.asarray(np.real(at), dt),
+            jnp.asarray(np.imag(at), dt),
             jnp.asarray(_hadamard_np(cfg.num_tx)))
 
 
@@ -172,12 +178,14 @@ def ls_estimate_planes(cfg: SimConfig, planes, consts=None, dtype=None):
 
     zr = mm(x[0], at_r) - mm(x[1], at_i)              # (S·nsym, C) f32
     zi = mm(x[0], at_i) + mm(x[1], at_r)
-    # despread on the REAL planes (P is ±1 real): complexify only the
-    # final (S, ntx, C) result — a complex-dtype einsum here measured
-    # ~0.5 ms of pure layout cost on-chip (probe_r2_perf, round 2)
-    z = jnp.stack([zr, zi]).reshape(2, s, nsym, c)
-    h = jnp.einsum("jn,dsnc->dsjc", p.astype(zr.dtype), z)
-    return jax.lax.complex(h[0], h[1])
+    # despread on the REAL planes (P is ±1 real) per plane — no stack
+    # (a jnp.stack here materialized a 490 MB copy at batch 1024) and
+    # complexify only the final (S, ntx, C) result (a complex-dtype
+    # einsum measured ~0.5 ms of pure layout cost on-chip)
+    pp = p.astype(zr.dtype)
+    hr = jnp.einsum("jn,snc->sjc", pp, zr.reshape(s, nsym, c))
+    hi = jnp.einsum("jn,snc->sjc", pp, zi.reshape(s, nsym, c))
+    return jax.lax.complex(hr, hi)
 
 
 def ls_estimate_rxmajor(cfg: SimConfig, rx, consts=None):

@@ -5,7 +5,11 @@ from mamimo_tpu.ops.pallas.mlp_infer import (  # noqa: F401
     fold_bn_into_dense,
     mlp_infer_pallas,
 )
-from mamimo_tpu.ops.pallas.fused_ls import ls_estimate_pallas  # noqa: F401
+from mamimo_tpu.ops.pallas.fused_ls import (  # noqa: F401
+    ls_estimate_pallas,
+    ls_planes_pallas,
+    ls_planes_pallas_constants,
+)
 from mamimo_tpu.ops.pallas.fused_factored import (  # noqa: F401
     fused_factored_planes,
     predict_all_pairs_planes_pallas,

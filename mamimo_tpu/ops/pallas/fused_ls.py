@@ -135,3 +135,133 @@ def ls_estimate_pallas(
     # (pairs, C, nsym) -> (B, C, num_tx, num_rx)
     est = est.reshape(b, nrx, c, nsym)
     return jnp.transpose(est, (0, 2, 3, 1))
+
+
+# ----------------------------------------------------------------------
+# Flat-planes LS kernel: DFT + Kronecker block-despread, z in VMEM
+# ----------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def ls_planes_pallas_constants(cfg: SimConfig, block_samples: int = 8,
+                               dtype=None):
+    """Kernel constants for ls_planes_pallas: (At_r, At_i, K) with
+
+    * At = dft_selected_padded_np(cfg).T — (sym_len, Cp) DFT planes, CP
+      drop folded in as zero rows, carriers zero-padded to a 128-lane
+      multiple, LTF/nltf scaling folded in;
+    * K = I_{block_samples} ⊗ P — the despread for one row-block as ONE
+      block-diagonal (R, R) matmul (R = block_samples·num_tx): rows stay
+      in (sample-major, symbol-minor) order, so no reshape/transpose of
+      the z tile is needed inside the kernel (Mosaic rejects lane-dim
+      reshapes). K is f32: the despread runs in f32 regardless of the
+      DFT dot dtype (±1 entries, exact).
+    """
+    import numpy as np
+
+    from mamimo_tpu.ops.estimate import dft_selected_padded_np
+
+    at = dft_selected_padded_np(cfg).T                 # (sym_len, C)
+    cp_ = _round_up(cfg.num_carriers, 128)
+    atp = np.zeros((cfg.sym_len, cp_), np.complex64)
+    atp[:, : cfg.num_carriers] = at
+    k = np.kron(np.eye(block_samples, dtype=np.float32),
+                _hadamard_np(cfg.num_tx).astype(np.float32))
+    dt = dtype or jnp.float32
+    # K entries are ±1/0 — exact in bf16; the despread dot follows the
+    # input dtype (z is quantized at the DFT already on the bf16 path)
+    return (jnp.asarray(np.real(atp), dt), jnp.asarray(np.imag(atp), dt),
+            jnp.asarray(k, dt))
+
+
+def _planes_kernel(xr_ref, xi_ref, ar_ref, ai_ref, k_ref,
+                   hr_ref, hi_ref):
+    xr = xr_ref[:]                                # (R, sym_len)
+    xi = xi_ref[:]
+    ar = ar_ref[:]                                # (sym_len, Cp)
+    ai = ai_ref[:]
+    # complex DFT-select: 4 real MXU dots, f32 accumulation; the
+    # demodulated grid z lives only in VMEM/registers
+    zr = (jnp.dot(xr, ar, preferred_element_type=jnp.float32)
+          - jnp.dot(xi, ai, preferred_element_type=jnp.float32))
+    zi = (jnp.dot(xr, ai, preferred_element_type=jnp.float32)
+          + jnp.dot(xi, ar, preferred_element_type=jnp.float32))
+    # block-diagonal despread: one (R, R) dot per plane in K's dtype
+    # (±1/0 entries — exact in bf16; z re-quantization is below the
+    # DFT's own bf16 quantization on that path)
+    k = k_ref[:]
+    hr_ref[:] = jnp.dot(k, zr.astype(k.dtype),
+                        preferred_element_type=jnp.float32)
+    hi_ref[:] = jnp.dot(k, zi.astype(k.dtype),
+                        preferred_element_type=jnp.float32)
+
+
+def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
+                     block_samples: int = 8, interpret: bool | None = None,
+                     as_planes: bool = False):
+    """LS estimation from FLAT canonical planes, fused in one kernel.
+
+    Identical math to ops/estimate.py::ls_estimate_planes, but the
+    demodulated grid z never round-trips HBM (two 245 MB passes at
+    bench batch 1024 under XLA) and the despread is a single
+    block-diagonal MXU matmul instead of a batched (32×32) einsum.
+
+    Args:
+      planes: (2, S, len_ltf) float32/bfloat16, S = batch·num_rx.
+      consts: optional from ls_planes_pallas_constants(cfg,
+        block_samples, dtype=planes.dtype).
+      as_planes: return (2, S, num_tx, C) f32 planes instead of complex.
+
+    Returns:
+      (S, num_tx, num_carriers) complex64 (rx-major), or planes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, s, L = planes.shape
+    nsym = cfg.num_tx
+    c = cfg.num_carriers
+    if consts is None:
+        consts = ls_planes_pallas_constants(cfg, block_samples,
+                                            dtype=planes.dtype)
+    ar, ai, k = consts
+    cp_ = ar.shape[1]
+    r = block_samples * nsym
+    assert k.shape == (r, r)
+
+    sp = _round_up(s, block_samples)
+    x = planes.reshape(2, s * nsym, cfg.sym_len)
+    if sp != s:
+        x = jnp.zeros((2, sp * nsym, cfg.sym_len), x.dtype
+                      ).at[:, : s * nsym].set(x)
+    rows = sp * nsym
+
+    grid = (rows // r,)
+    blk = lambda i: (i, 0)                        # noqa: E731
+    const = lambda i: (0, 0)                      # noqa: E731
+    hr, hi = pl.pallas_call(
+        _planes_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, cfg.sym_len), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cfg.sym_len), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.sym_len, cp_), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.sym_len, cp_), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, r), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, cp_), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cp_), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((rows, cp_), jnp.float32)] * 2,
+        interpret=interpret,
+    )(x[0], x[1], ar, ai, k)
+
+    hr = hr[: s * nsym, :c].reshape(s, nsym, c)
+    hi = hi[: s * nsym, :c].reshape(s, nsym, c)
+    if as_planes:
+        return jnp.stack([hr, hi])
+    return jax.lax.complex(hr, hi)

@@ -73,6 +73,23 @@ class CSIDataset:
     def pilot_matrix(self) -> np.ndarray:
         return np.asarray(pilot_p_matrix(self.cfg.num_tx))
 
+    def rx_planes(self, dtype=np.float32) -> np.ndarray:
+        """The received preambles in the framework's CANONICAL deploy
+        layout: FLAT rx-major planes (2, B·num_rx, len_ltf) —
+        [0]=real, [1]=imag, sample s = packet·num_rx + rx_antenna.
+
+        This is the layout every device loader actually ships (complex
+        arrays cannot cross the host↔device boundary on the TPU
+        backend — see utils.numerics.put_complex) and the hot
+        estimation paths consume without any transpose or relayout
+        (ls_estimate_planes / predict_all_pairs_planes_flat /
+        ls_planes_pallas). dtype=np.float32 default; bfloat16 via
+        ml_dtypes is the half-traffic deploy option.
+        """
+        b, L, r = self.rx.shape
+        rxm = np.transpose(self.rx, (0, 2, 1)).reshape(b * r, L)
+        return np.stack([np.real(rxm), np.imag(rxm)]).astype(dtype)
+
     # ------------------------------------------------------------------
     def packet_key(self, p: int):
         """Regenerate the per-packet channel key (the prm.seed_p contract:

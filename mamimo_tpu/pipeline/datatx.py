@@ -134,14 +134,14 @@ def run_data_transmission(
     # --- receiver (:538-640, shared with the multi-user loop) ---
     return _receive_and_decode(
         cfg, k_noise, faded, gain_db=scen.sp_loss_db, noise_db=noise_db,
-        chan_delay=chan.chan_delay, n_pre_sym=ns, own=slice(0, ns),
-        bits=bits, snr_cs=snr_cs,
+        chan_delay=chan.chan_delay, n_pre_sym=ns, own_start=0,
+        n_own=ns, bits=bits, snr_cs=snr_cs,
     )
 
 
 def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
-                        noise_db, chan_delay, n_pre_sym, own, bits,
-                        snr_cs) -> DataTxResult:
+                        noise_db, chan_delay, n_pre_sym, own_start,
+                        n_own, bits, snr_cs) -> DataTxResult:
     """Receiver chain shared by the single- and multi-user paths
     (generate_maMIMO_LTF.m:538-640): AWGN at the sounding noise power,
     subcarrier scaling, sync, demod, preamble LS, ZF-equalize the own
@@ -149,7 +149,9 @@ def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
 
     Args:
       n_pre_sym: mapped-preamble symbols (numSTS total across users).
-      own: slice of the equalized streams belonging to this user.
+      own_start: first stream index of this user (may be traced — the
+        vmapped multi-user path passes u·num_sts).
+      n_own: static stream count per user.
     """
     sig_pwr = jnp.mean(jnp.abs(faded) ** 2, axis=0)
     snr_dt = 10.0 * jnp.log10(sig_pwr) - noise_db + gain_db
@@ -167,7 +169,8 @@ def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
 
     # channel estimate from the mapped preamble (:578)
     h_eff = ls_estimate(cfg, rx_grid[:, :n_pre_sym, :], n_pre_sym)
-    rx_eq, csi_w = mimo_equalize(rx_grid[:, n_pre_sym:, :], h_eff[:, own, :])
+    h_own = jax.lax.dynamic_slice_in_dim(h_eff, own_start, n_own, axis=1)
+    rx_eq, csi_w = mimo_equalize(rx_grid[:, n_pre_sym:, :], h_own)
 
     # flatten carrier-fastest (MATLAB rxEq(:) column-major, :590)
     rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
@@ -214,9 +217,8 @@ def run_data_transmission_mu(
       noise_db_users: (U,) sounding noise powers.
       snr_cs_users: (U, num_rx) sounding SNRs.
 
-    Returns: list of per-user DataTxResult.
+    Returns: DataTxResult with a stacked leading user axis (U,).
     """
-    from mamimo_tpu.channel.scattering import Scenario
     from mamimo_tpu.ops.jsdm import jsdm_transmit_weights, pack_block_diagonal
 
     if fft_size is None:
@@ -267,18 +269,25 @@ def run_data_transmission_mu(
     sig_pad = jnp.concatenate(
         [pre_sound, pad, tx_sig, jnp.zeros_like(pad)], axis=0)
 
-    results = []
-    for u in range(u_cnt):
-        scen_u = Scenario(*[x[u] for x in scens])
-        chan_u = jax.tree.map(lambda x, u=u: x[u], chans)
-        faded = apply_channel_model(cfg, sig_pad, chan_u, fft_size=fft_size)
-        faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros:]
+    # per-user receive: one vmapped program over the stacked user axis
+    # (channel application + AWGN + demod + equalize + Viterbi), not a
+    # Python loop of dispatches
+    bits_all = jnp.stack(bits_u)                       # (U, n_bits)
+    u_idx = jnp.arange(u_cnt, dtype=jnp.int32)
 
-        results.append(_receive_and_decode(
+    def per_user(scen_u, chan_u, u, noise_db_u, snr_cs_u, bits_u1):
+        faded = apply_channel_model(cfg, sig_pad, chan_u,
+                                    fft_size=fft_size)
+        faded = faded[pre_sound.shape[0] + cfg.num_pad_zeros:]
+        return _receive_and_decode(
             cfg, jax.random.fold_in(k_noise, u), faded,
-            gain_db=scen_u.sp_loss_db, noise_db=noise_db_users[u],
+            gain_db=scen_u.sp_loss_db, noise_db=noise_db_u,
             chan_delay=chan_u.chan_delay, n_pre_sym=sts_tot,
-            own=slice(u * ns, (u + 1) * ns), bits=bits_u[u],
-            snr_cs=snr_cs_users[u],
-        ))
-    return results
+            own_start=u * ns, n_own=ns, bits=bits_u1,
+            snr_cs=snr_cs_u,
+        )
+
+    return jax.vmap(per_user)(
+        scens, chans, u_idx, jnp.asarray(noise_db_users),
+        jnp.asarray(snr_cs_users), bits_all,
+    )

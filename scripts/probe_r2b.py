@@ -83,6 +83,41 @@ def main(batch=1024, unroll=4, iters=5):
     run(f"full_bf16_u{U}", make_estimation_fn_planes(
         cfg, tcfg, params, bn, use_bf16=True, ls_bf16=True, unroll=U),
         per_call=U)
+
+    # bf16 STORAGE input: no in-graph downcasts to elide
+    planes16 = jax.jit(lambda p: p.astype(jnp.bfloat16))(planes)
+    lsp16 = ls_planes_constants(cfg, dtype=jnp.bfloat16)
+
+    def run16(name, step, per_call=1):
+        t0 = time.time()
+        t[name] = _time_fn(step, planes16, iters, per_call=per_call)
+        print(f"{name}: {t[name]*1e3:.3f} ms "
+              f"({n_est/t[name]/1e6:.2f} M est/s) "
+              f"[compile+run {time.time()-t0:.0f}s]", flush=True)
+
+    run16(f"noop16_u{U}", _chained_step(lambda p: p, unroll=U), per_call=U)
+    run16(f"ls_bf16in_u{U}", _chained_step(
+        lambda c, p: ls_estimate_planes(cfg, p, c), (lsp16,), unroll=U),
+        per_call=U)
+    run16(f"dnn_bf16in_u{U}", _chained_step(
+        lambda pp, bb, p: predict_all_pairs_planes_flat(
+            cfg, tcfg, pp, bb, p, dtype=jnp.bfloat16),
+        (params, bn), unroll=U), per_call=U)
+    run16(f"full_bf16in_u{U}", make_estimation_fn_planes(
+        cfg, tcfg, params, bn, input_bf16=True, unroll=U), per_call=U)
+
+    # fused Pallas LS (DFT + Kronecker block-despread, z in VMEM)
+    from mamimo_tpu.ops.pallas import (
+        ls_planes_pallas,
+        ls_planes_pallas_constants,
+    )
+    lspk = ls_planes_pallas_constants(cfg, dtype=jnp.bfloat16)
+    run16(f"ls_pallas16_u{U}", _chained_step(
+        lambda c, p: ls_planes_pallas(cfg, p, c), (lspk,), unroll=U),
+        per_call=U)
+    run16(f"full_pallasls16_u{U}", make_estimation_fn_planes(
+        cfg, tcfg, params, bn, input_bf16=True, ls_pallas=True, unroll=U),
+        per_call=U)
     print(json.dumps({k: round(v * 1e3, 3) for k, v in t.items()}))
 
 

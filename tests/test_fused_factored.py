@@ -120,3 +120,21 @@ def test_ls_planes_bf16_close_to_f32():
                                         dtype=jnp.bfloat16))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=0.02 * scale)
+
+
+def test_dataset_rx_planes_layout():
+    """CSIDataset.rx_planes emits the canonical flat planes layout and
+    the planes hot path reproduces the time-major estimate on it."""
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+
+    ds = generate_dataset(CFG, seed=31, num_packets=3, snr_db=0.0,
+                          chunk=3, fft_size=8192)
+    planes = jnp.asarray(ds.rx_planes())
+    assert planes.shape == (2, 3 * CFG.num_rx, CFG.len_ltf)
+    ref = ls_estimate_matmul(CFG, jnp.asarray(ds.rx),
+                             ls_matmul_constants(CFG))
+    got = ls_estimate_planes(CFG, planes, ls_planes_constants(CFG))
+    got = got.reshape(3, CFG.num_rx, CFG.num_tx, CFG.num_carriers)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (0, 3, 2, 1))), np.asarray(ref),
+        rtol=2e-4, atol=2e-4)

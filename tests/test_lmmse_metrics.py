@@ -77,3 +77,32 @@ def test_evm_ber():
     tx_bits = np.array([0, 1, 1, 0, 1])
     rx_bits = np.array([0, 1, 0, 0, 1])
     np.testing.assert_allclose(float(bit_error_rate(tx_bits, rx_bits)), 0.2)
+
+
+def test_lmmse_chunked_equals_dense(small_cfg):
+    """lmmse_estimate_chunked streams packet chunks through one scanned
+    program and equals the dense batched form (the protocol-scale
+    memory guard: dense materializes (B, R, C, C) smoothing matrices,
+    ~7 MB/packet at BS32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamimo_tpu.ops.estimate import (
+        lmmse_estimate,
+        lmmse_estimate_chunked,
+    )
+
+    cfg = small_cfg
+    b = 7                                   # not a chunk multiple
+    key = jax.random.PRNGKey(5)
+    z = jax.random.normal(
+        key, (b, cfg.num_carriers, cfg.num_tx, cfg.num_rx, 2))
+    h_ls = jax.lax.complex(z[..., 0], z[..., 1])
+    tau = jax.random.uniform(key, (b, cfg.n_scatterers),
+                             minval=1e-7, maxval=5e-7)
+    snr = jnp.full((b, cfg.num_rx), 5.0)
+    dense = np.asarray(lmmse_estimate(cfg, h_ls, tau, snr))
+    chunked = np.asarray(lmmse_estimate_chunked(cfg, h_ls, tau, snr,
+                                                chunk=3))
+    np.testing.assert_allclose(chunked, dense, rtol=2e-5, atol=2e-5)
