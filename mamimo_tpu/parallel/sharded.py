@@ -307,7 +307,29 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
     # the one shared step semantics (train/loop.py::make_batch_update);
     # the mesh path only adds the batch sharding constraints — XLA then
     # inserts the DP gradient allreduce / TP reduce-scatter pairs
-    update, _ = make_batch_update(cfg, tcfg, avg_sig_pow, opt,
-                                  constrain=constrain)
-    step_fn = functools.partial(jax.jit, donate_argnums=(0, 1, 2))(update)
+    update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt,
+                                          constrain=constrain)
+    _jit_step = functools.partial(jax.jit, donate_argnums=(0, 1, 2))(update)
+
+    def step_fn(*a, **kw):
+        return _jit_step(*a, **kw)
+
+    # in-jit gather variants: batch assembly as device gathers from the
+    # (replicated) dataset instead of per-step host NumPy indexing —
+    # the same fast path the single-chip fit uses (train/loop.py
+    # ::_gather_batch), now available under the mesh
+    from mamimo_tpu.train.loop import _gather_batch
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def gather_step(params, bn_state, opt_state, data, idx, key, lr):
+        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        return update(params, bn_state, opt_state, x2, pilot, y2, key, lr)
+
+    @jax.jit
+    def gather_eval(params, bn_state, data, idx):
+        x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        return eval_core(params, bn_state, x2, pilot, y2)
+
+    step_fn.gather = gather_step
+    step_fn.gather_eval = gather_eval
     return init_fn, step_fn

@@ -370,8 +370,20 @@ def fit(
             param_shardings,
         )
 
+        from jax.sharding import NamedSharding as _NS
+        from jax.sharding import PartitionSpec as _PS
+
         init_fn, sh_step = make_sharded_train_step(
             cfg, tcfg, mesh, avg_sig_pow=avg_sig_pow)
+        # replicate the dataset once across the mesh; batches are then
+        # assembled as in-jit device gathers (the single-chip fast
+        # path), not per-step host NumPy indexing
+        rep = _NS(mesh, _PS())
+        mesh_data = jax.tree.map(
+            lambda a: jax.device_put(a, rep), _device_data(train_ds))
+        mesh_val = (jax.tree.map(
+            lambda a: jax.device_put(a, rep), _device_data(val_ds))
+            if val_ds is not None else mesh_data)
         if start_epoch > 0:
             # resume on the mesh: re-place the checkpointed host arrays
             # with the same shardings a fresh init would use
@@ -393,30 +405,13 @@ def fit(
             opt_state = jax.tree.map(_replace, like, host_o)
         else:
             params, bn_state, opt_state = init_fn(k_init)
-        _, arr_eval_step = make_array_train_step(cfg, tcfg, avg_sig_pow,
-                                                 opt)
-        rx_np = train_ds.rx
-        h_np = train_ds.h_ls
-        val_rx = val_ds.rx if val_ds is not None else rx_np
-        val_h = val_ds.h_ls if val_ds is not None else h_np
-        P_np = train_ds.pilot_matrix().T
-
-        def _np_batch(rxa, ha, idx_np):
-            p, t, r = train_ds.decompose_index(idx_np)
-            sig = rxa[p, :, r]
-            lab = ha[p, :, t, r]
-            x2 = jnp.asarray(np.stack([np.real(sig), np.imag(sig)]))
-            y2 = jnp.asarray(np.stack([np.real(lab), np.imag(lab)]))
-            return x2, jnp.asarray(P_np[t]), y2
-
         def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
-            x2, pilot, y2 = _np_batch(rx_np, h_np, idx_np)
-            return sh_step(params, bn_state, opt_state, x2, pilot, y2,
-                           kstep, lr)
+            return sh_step.gather(params, bn_state, opt_state, mesh_data,
+                                  jnp.asarray(idx_np), kstep, lr)
 
         def run_val(params, bn_state, idx_np):
-            x2, pilot, y2 = _np_batch(val_rx, val_h, idx_np)
-            return arr_eval_step(params, bn_state, x2, pilot, y2)
+            return sh_step.gather_eval(params, bn_state, mesh_val,
+                                       jnp.asarray(idx_np))
     elif host_stream:
         arr_train_step, arr_eval_step = make_array_train_step(
             cfg, tcfg, avg_sig_pow, opt)
