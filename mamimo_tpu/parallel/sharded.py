@@ -47,12 +47,15 @@ def sharded_ls_estimate(cfg: SimConfig, mesh: Mesh, rx, axis: str = "seq"):
     Returns:
       (B, C, num_tx, num_rx) complex LS estimate, fully replicated.
     """
+    from mamimo_tpu.ops.ltf import _hadamard_np, _ltf_np
+
     n_shard = mesh.shape[axis]
     nsym = cfg.num_tx
     assert nsym % n_shard == 0, "num_tx symbols must divide over seq axis"
     loc = nsym // n_shard
-    P_full = np.asarray(pilot_p_matrix(cfg.num_tx))          # (T, nltf)
-    ltf = np.asarray(ltf_data_carriers(cfg))
+    # NumPy constant sources (jit-safe at trace time)
+    P_full = _hadamard_np(cfg.num_tx)                        # (T, nltf)
+    ltf = _ltf_np(cfg.fft_length)[np.asarray(cfg.carrier_locations)]
     carr = np.asarray(cfg.carrier_locations, np.int32)
 
     def local(rx_blk):
@@ -161,7 +164,7 @@ def sharded_estimate_combined(cfg: SimConfig, tcfg: TrainConfig,
       axis, both sharded on B over data.
     """
     from mamimo_tpu.models.mlp import factored_heads_apply
-    from mamimo_tpu.ops.ltf import _hadamard_np
+    from mamimo_tpu.ops.ltf import _hadamard_np, _ltf_np
 
     n_seq = mesh.shape[seq_axis]
     n_ant = mesh.shape[ant_axis]
@@ -171,7 +174,7 @@ def sharded_estimate_combined(cfg: SimConfig, tcfg: TrainConfig,
     loc_heads = nsym // n_ant
     l_loc = loc_sym * cfg.sym_len
     P_full = jnp.asarray(_hadamard_np(nsym), jnp.float32)    # (T, nltf)
-    ltf = np.asarray(ltf_data_carriers(cfg))
+    ltf = _ltf_np(cfg.fft_length)[np.asarray(cfg.carrier_locations)]
     carr = np.asarray(cfg.carrier_locations, np.int32)
 
     def local(p, bn, rx_blk):

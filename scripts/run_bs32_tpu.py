@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Full BS32 paper-configuration run on the TPU.
+"""Full BS32/BS64 paper-configuration run on the TPU.
 
 Stages (each logged + checkpointed so the run is resumable):
   0. micro-fit sanity (32 packets, 2 epochs) — verifies every program
@@ -32,6 +32,8 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packets", type=int, default=3000)
+    ap.add_argument("--num-tx", type=int, default=32)
+    ap.add_argument("--num-rx", type=int, default=4)
     ap.add_argument("--test-packets", type=int, default=500)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--snr", type=float, nargs="+",
@@ -54,7 +56,7 @@ def main():
     from mamimo_tpu.train import fit
     from mamimo_tpu.train.loop import evaluate_dataset
 
-    cfg = SimConfig()
+    cfg = SimConfig(num_tx=args.num_tx, num_rx=args.num_rx)
     # 16 fused optimizer steps per dispatch: amortizes the ~60 ms tunnel
     # RPC per call (73 s/epoch -> ~10 s/epoch), bitwise-same trajectory
     tcfg = TrainConfig(epochs=args.epochs, seed=args.seed,
