@@ -67,6 +67,16 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    lib.dl_prefetch.restype = ctypes.c_int
+    lib.dl_prefetch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    lib.dl_wait.restype = ctypes.c_int64
+    lib.dl_wait.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.dl_close.restype = None
     lib.dl_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -155,6 +165,41 @@ class NativeBatchLoader:
         y[:, 0] = np.real(lab)
         y[:, 1] = np.imag(lab)
         return sig, y
+
+    def prefetch(self, idx: np.ndarray) -> None:
+        """Start an ASYNC gather of the next batch on a background C++
+        thread (double buffer) — overlaps host gather with device
+        compute. Falls back to an immediate gather without the native
+        library. Exactly one prefetch may be in flight."""
+        idx = np.ascontiguousarray(idx, np.int64)
+        if self._handle is not None:
+            rc = self._lib.dl_prefetch(
+                self._handle,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(idx), self.n_threads)
+            if rc != 0:
+                raise RuntimeError(f"dl_prefetch failed with code {rc}")
+            self._pending = len(idx)
+        else:
+            self._pending = self.gather(idx)
+
+    def wait(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Block for the in-flight prefetch and return (sig, y)."""
+        pending = getattr(self, "_pending", None)
+        assert pending is not None, "no prefetch in flight"
+        self._pending = None
+        if self._handle is not None:
+            n = int(pending)
+            sig = np.empty((n, 2, self.L), np.float32)
+            y = np.empty((n, 2, self.C), np.float32)
+            rc = self._lib.dl_wait(
+                self._handle,
+                sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if rc != n:
+                raise RuntimeError(f"dl_wait failed with code {rc}")
+            return sig, y
+        return pending
 
     def close(self) -> None:
         if self._handle is not None and self._lib is not None:

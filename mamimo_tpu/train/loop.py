@@ -405,7 +405,8 @@ def fit(
             opt_state = jax.tree.map(_replace, like, host_o)
         else:
             params, bn_state, opt_state = init_fn(k_init)
-        def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                      idx_next=None):
             return sh_step.gather(params, bn_state, opt_state, mesh_data,
                                   jnp.asarray(idx_np), kstep, lr)
 
@@ -415,17 +416,35 @@ def fit(
     elif host_stream:
         arr_train_step, arr_eval_step = make_array_train_step(
             cfg, tcfg, avg_sig_pow, opt)
+        _pf = {"idx": None}    # one in-flight native prefetch (train)
 
-        def _batch_arrays(ld, idx_np):
-            sig, y = ld.gather(idx_np)
+        def _to_device(sig, y, idx_np):
             t = (idx_np % cfg.num_tx).astype(np.int64)
             pilot = P_host[t]
             return (jnp.asarray(sig.transpose(1, 0, 2)),
                     jnp.asarray(pilot),
                     jnp.asarray(y.transpose(1, 0, 2)))
 
-        def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
-            x2, pilot, y2 = _batch_arrays(loader, idx_np)
+        def _batch_arrays(ld, idx_np):
+            return _to_device(*ld.gather(idx_np), idx_np)
+
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                      idx_next=None):
+            # double-buffered pipeline: batch k was prefetched on a C++
+            # background thread while the device ran step k-1; kick off
+            # the gather of batch k+1 before dispatching step k
+            if _pf["idx"] is not None:
+                sig, y = loader.wait()
+                hit = np.array_equal(_pf["idx"], idx_np)
+                _pf["idx"] = None
+                if not hit:
+                    sig, y = loader.gather(idx_np)
+            else:
+                sig, y = loader.gather(idx_np)
+            if idx_next is not None:
+                loader.prefetch(np.ascontiguousarray(idx_next, np.int64))
+                _pf["idx"] = np.asarray(idx_next)
+            x2, pilot, y2 = _to_device(sig, y, idx_np)
             return arr_train_step(params, bn_state, opt_state, x2, pilot,
                                   y2, kstep, lr)
 
@@ -438,7 +457,8 @@ def fit(
         _, val_eval_step = make_train_step(
             cfg, tcfg, val_data, avg_sig_pow, opt)
 
-        def run_train(params, bn_state, opt_state, idx_np, kstep, lr):
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                      idx_next=None):
             return train_step(params, bn_state, opt_state,
                               jnp.asarray(idx_np), kstep, lr)
 
@@ -509,10 +529,15 @@ def fit(
             s = n_groups * kfuse
         for s2 in range(s, steps_per_epoch):
             idx = train_idx[perm[s2 * bs:(s2 + 1) * bs]]
+            idx_next = (train_idx[perm[(s2 + 1) * bs:(s2 + 2) * bs]]
+                        if s2 + 1 < steps_per_epoch else None)
+            if idx_next is not None and len(idx_next) < bs:
+                idx_next = None
             kstep = jax.random.fold_in(
                 k_train, epoch * steps_per_epoch + s2)
             params, bn_state, opt_state, per_dim = run_train(
-                params, bn_state, opt_state, idx, kstep, lr
+                params, bn_state, opt_state, idx, kstep, lr,
+                idx_next=idx_next
             )
             ep_loss += np.asarray(per_dim)
             n_done += 1

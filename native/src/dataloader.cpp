@@ -13,6 +13,11 @@
 //   dl_gather(handle, idx, n, sig_out, y_out, n_threads) -> 0 on success
 //     sig_out: n * 2 * L  float32  (real plane, imag plane per sample)
 //     y_out:   n * 2 * C  float32
+//   dl_prefetch(handle, idx, n, n_threads) -> 0: start an ASYNC gather
+//     of the NEXT batch into an internal double buffer on a background
+//     thread (overlaps host gather with device compute)
+//   dl_wait(handle, sig_out, y_out) -> n: block for the prefetch and
+//     copy it out (-1 if none pending)
 //   dl_close(handle)
 //
 // Container layout (written by CSIDataset.save_raw):
@@ -43,6 +48,12 @@ struct Handle {
   int64_t B = 0, L = 0, R = 0, C = 0, T = 0;
   const float* rx = nullptr;    // interleaved complex64 => float pairs
   const float* h = nullptr;
+  // async prefetch double buffer
+  std::thread prefetcher;
+  std::vector<float> pf_sig;
+  std::vector<float> pf_y;
+  int64_t pf_n = -1;            // -1: none pending
+  int pf_status = 0;
 };
 
 constexpr char kMagic[8] = {'M', 'M', 'I', 'M', 'O', 'R', 'A', 'W'};
@@ -161,9 +172,51 @@ int dl_gather(void* handle, const int64_t* idx, int64_t n, float* sig_out,
   return 0;
 }
 
+// Start an async gather into the internal double buffer. One prefetch
+// may be in flight per handle; callers alternate prefetch/wait to
+// overlap the host-side gather of batch k+1 with device compute on
+// batch k (the fit(host_stream=True) pipeline).
+int dl_prefetch(void* handle, const int64_t* idx, int64_t n,
+                int n_threads) {
+  if (!handle || n <= 0) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  if (h->pf_n >= 0) return -3;  // already pending: wait first
+  const int64_t total = h->B * h->R * h->T;
+  std::vector<int64_t> ids(idx, idx + n);
+  for (int64_t i = 0; i < n; ++i) {
+    if (ids[i] < 0 || ids[i] >= total) return -2;
+  }
+  h->pf_sig.resize(size_t(n) * 2 * h->L);
+  h->pf_y.resize(size_t(n) * 2 * h->C);
+  h->pf_n = n;
+  h->pf_status = 0;
+  float* sig_out = h->pf_sig.data();
+  float* y_out = h->pf_y.data();
+  h->prefetcher = std::thread([h, ids = std::move(ids), n, n_threads,
+                               sig_out, y_out]() {
+    h->pf_status =
+        dl_gather(h, ids.data(), n, sig_out, y_out, n_threads);
+  });
+  return 0;
+}
+
+int64_t dl_wait(void* handle, float* sig_out, float* y_out) {
+  if (!handle) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  if (h->pf_n < 0) return -1;
+  if (h->prefetcher.joinable()) h->prefetcher.join();
+  const int64_t n = h->pf_n;
+  h->pf_n = -1;
+  if (h->pf_status != 0) return -2;
+  memcpy(sig_out, h->pf_sig.data(), h->pf_sig.size() * sizeof(float));
+  memcpy(y_out, h->pf_y.data(), h->pf_y.size() * sizeof(float));
+  return n;
+}
+
 void dl_close(void* handle) {
   if (!handle) return;
   auto* h = static_cast<Handle*>(handle);
+  if (h->prefetcher.joinable()) h->prefetcher.join();
   munmap(const_cast<uint8_t*>(h->base), h->size);
   ::close(h->fd);
   delete h;
