@@ -179,7 +179,7 @@ def make_estimation_fn(cfg, tcfg, params, bn_state,
     import jax
     import jax.numpy as jnp
 
-    from mamimo_tpu.models.mlp import preprocess_input, stacked_apply
+    from mamimo_tpu.models.mlp import preprocess_input
     from mamimo_tpu.ops.ltf import pilot_p_matrix
     from mamimo_tpu.pipeline.sounding import estimate_from_rx
 

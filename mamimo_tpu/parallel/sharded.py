@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mamimo_tpu.config import SimConfig, TrainConfig
-from mamimo_tpu.ops.ltf import ltf_data_carriers, pilot_p_matrix
+
 
 
 # ----------------------------------------------------------------------
