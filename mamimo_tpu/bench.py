@@ -569,6 +569,9 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     # 4 real mults + 2 adds ≈ 8 flops/MAC (demod DFT + P-despread). The
     # planes / rx-major forms fold the CP drop into the DFT as zero
     # columns, so their executed DFT MACs span sym_len, not fft_length.
+    # NOTE: this counts USEFUL carriers (234); the Pallas kernel pads to
+    # 256 lanes, so its executed MACs are ~9% higher than counted here —
+    # the reported TFLOP/s is conservative for pallas_ls paths.
     ls_dft_cols = (cfg.fft_length if best_full.startswith("xla_timemajor")
                    else cfg.sym_len)
     ls_flops = 8.0 * batch_packets * cfg.num_rx * cfg.num_tx * (

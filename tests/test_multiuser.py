@@ -133,3 +133,19 @@ def test_mu_high_snr_zero_interference_oracle():
         # digital weight is not unitary), not residual interference —
         # QPSK still decodes perfectly; just require it bounded
         assert float(out.evm[u]) < 60.0, (u, float(out.evm[u]))
+
+
+def test_mu_snr_sweep_smoke():
+    """run_mu_snr_sweep end-to-end (tiny): per-(source, user) series
+    aligned with the SNR grid, CIs present."""
+    from mamimo_tpu.eval.snr_sweep import run_mu_snr_sweep
+
+    out = run_mu_snr_sweep(MU, snr_levels=[10.0], num_packets=2,
+                           seed=8, sources=("ls", "perfect"),
+                           fft_size=16384, chunk=2, verbose=False)
+    assert out["num_users"] == 2
+    for s in ("ls", "perfect"):
+        d = out["sources"][s]
+        assert len(d["ber"]) == 1 and len(d["ber"][0]) == 2
+        assert len(d["ber_ci"][0]) == 2
+        assert all(np.isfinite(v) for v in d["evm"][0])
