@@ -244,7 +244,8 @@ def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
                               use_bf16: bool = False,
                               ls_bf16: bool = False, unroll: int = 1,
                               input_bf16: bool = False,
-                              ls_pallas: bool = False):
+                              ls_pallas: bool = False,
+                              dnn_int8: bool = False):
     """Fused estimation step on the framework's CANONICAL raw layout:
     rx-major float32 planes (2, B, num_rx, len_ltf) — what the dataset
     pipeline stores and the loaders emit (complex64 cannot even cross
@@ -274,6 +275,31 @@ def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
     else:
         ls_consts = ls_planes_constants(
             cfg, dtype=jnp.bfloat16 if (ls_bf16 or input_bf16) else None)
+
+    if dnn_int8:
+        # int8 weights folded once outside the timed step (deploy-time
+        # artifact); the v5e MXU runs s8×s8→s32 at 2× the bf16 rate
+        import jax
+
+        from mamimo_tpu.models.quant import (
+            predict_all_pairs_planes_flat_int8,
+            quantize_params_int8,
+        )
+
+        qparams = jax.jit(
+            lambda p, b: quantize_params_int8(tcfg, p, b))(params, bn_state)
+
+        def _estimate_q(qp, lsc, planes):
+            if ls_pallas:
+                h_ls = ls_planes_pallas(cfg, planes, lsc)
+            else:
+                h_ls = ls_estimate_planes(cfg, planes, lsc)
+            h_dnn = predict_all_pairs_planes_flat_int8(
+                cfg, tcfg, qp, planes)
+            return h_ls, h_dnn
+
+        return _chained_step(_estimate_q, (qparams, ls_consts),
+                             unroll=unroll)
 
     def _estimate(p, bn, lsc, planes):
         """planes: FLAT canonical (2, S, len_ltf) float32 (or bfloat16
@@ -509,7 +535,24 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             print(f"[bench] pallas_ls_bf16in unavailable: {e}",
                   file=sys.stderr)
 
+    # int8 DNN (dynamic per-row activation quant, s8×s8→s32 MXU at 2×
+    # the bf16 rate) — guarded: falls back gracefully if the backend
+    # lacks int8 dot support
+    for name, use_pallas_ls in (("int8_dnn_bf16in", False),
+                                ("pallas_ls_int8_bf16in", True)):
+        if use_pallas_ls and not on_tpu:
+            continue
+        try:
+            timings[name] = _time_fn(
+                make_estimation_fn_planes(cfg, tcfg, params, bn_state,
+                                          input_bf16=True, dnn_int8=True,
+                                          ls_pallas=use_pallas_ls),
+                planes_bf16, iters)
+        except Exception as e:                   # pragma: no cover
+            print(f"[bench] {name} unavailable: {e}", file=sys.stderr)
+
     FULL_PATHS = ("pallas_factored", "pallas_full", "pallas_ls_bf16in",
+                  "int8_dnn_bf16in", "pallas_ls_int8_bf16in",
                   "xla_planes", "xla_planes_bf16", "xla_planes_bf16_bf16ls",
                   "xla_planes_bf16in", "xla_timemajor_bf16")
     full_keys = [k for k in FULL_PATHS if k in timings]
@@ -536,6 +579,12 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             fn = make_estimation_fn_planes(
                 cfg, tcfg, params, bn_state, input_bf16=True,
                 ls_pallas=True, unroll=unroll)
+            arg = planes_bf16
+        elif k in ("int8_dnn_bf16in", "pallas_ls_int8_bf16in"):
+            fn = make_estimation_fn_planes(
+                cfg, tcfg, params, bn_state, input_bf16=True,
+                dnn_int8=True, ls_pallas=k.startswith("pallas"),
+                unroll=unroll)
             arg = planes_bf16
         elif k.startswith("xla_planes"):
             fn = make_estimation_fn_planes(
@@ -594,7 +643,8 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             "device": str(dev),
             "batch_packets": batch_packets,
             "best_path": best_full,
-            "precision": ("bf16" if "bf16" in best_full
+            "precision": ("int8" if "int8" in best_full
+                          else "bf16" if "bf16" in best_full
                           or best_full.startswith("pallas") else "f32"),
             "steady_state_unroll": unroll if steady else 1,
             "steady_state_estimates_per_s": {

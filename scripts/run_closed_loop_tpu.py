@@ -80,8 +80,10 @@ def main():
                               num_packets=args.packets, snr_db=snr,
                               with_mmse=True, chunk=args.chunk,
                               scenario=scenario)
+        # batch_packets=8 matches the program shape already in the
+        # persistent compile cache (run_bs32_tpu.py stage 3)
         pred, _ = evaluate_dataset(cfg, ck["tcfg"], ck["params"],
-                                   ck["bn_state"], ds, batch_packets=16)
+                                   ck["bn_state"], ds, batch_packets=8)
         t1 = time.time()
         cl = evaluate_closed_loop(ds, predictions=pred, chunk=args.chunk)
         for s, m in cl.items():
