@@ -32,10 +32,44 @@ class CSIPredictor:
         self.tcfg: TrainConfig = ck["tcfg"]
         self.params = ck["params"]
         self.bn_state = ck["bn_state"]
+        self._qparams = None
         if verbose:
             n = sum(int(np.prod(l.shape))
                     for l in jax.tree.leaves(self.params))
             print(f"[CSIPredictor] loaded {model_path}: {n} params")
+
+    def all_pairs(self, rx_planes: np.ndarray,
+                  int8: bool = False) -> np.ndarray:
+        """All-pairs CSI from rx-major planes (2, B, num_rx, len_ltf)
+        float32 — the deployment estimation call (one factored layer-1
+        matmul shared by every pilot head).
+
+        int8=True serves the quantized path (models/quant.py): int8
+        weights folded once on first use, ~2× MXU rate on TPU, <0.05 dB
+        NMSE impact (tests/test_quant.py).
+
+        Returns:
+          (B, num_rx, num_tx, num_carriers) complex64.
+        """
+        from mamimo_tpu.models.mlp import predict_all_pairs_planes
+
+        x = jnp.asarray(rx_planes, jnp.float32)
+        if int8:
+            from mamimo_tpu.models.quant import (
+                predict_all_pairs_planes_int8,
+                quantize_params_int8,
+            )
+
+            if self._qparams is None:
+                self._qparams = jax.jit(
+                    lambda p, b: quantize_params_int8(self.tcfg, p, b)
+                )(self.params, self.bn_state)
+            y = predict_all_pairs_planes_int8(
+                self.cfg, self.tcfg, self._qparams, x)
+        else:
+            y = predict_all_pairs_planes(
+                self.cfg, self.tcfg, self.params, self.bn_state, x)
+        return get_complex(y)
 
     def inference(self, input_batch: np.ndarray, pilot: np.ndarray):
         """input_batch: (B, len_ltf) complex; pilot: (B, num_tx).

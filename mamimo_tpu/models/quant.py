@@ -154,3 +154,18 @@ def predict_all_pairs_planes_flat_int8(cfg: SimConfig, tcfg: TrainConfig,
         lambda qp, x: factored_plane_apply_int8(cfg, qp, x, P.T)
     )(qparams, planes)                                # (2, S, ntx, C)
     return jax.lax.complex(y2[0], y2[1])
+
+
+def predict_all_pairs_planes_int8(cfg: SimConfig, tcfg: TrainConfig,
+                                  qparams, rx_planes):
+    """int8 factored all-pairs inference from rx-major planes
+    (2, B, num_rx, len_ltf) — the int8 twin of models/mlp.py::
+    predict_all_pairs_planes.
+
+    Returns:
+      (B, num_rx, num_tx, num_carriers) complex64.
+    """
+    _, b, nrx, L = rx_planes.shape
+    y = predict_all_pairs_planes_flat_int8(
+        cfg, tcfg, qparams, rx_planes.reshape(2, b * nrx, L))
+    return y.reshape(b, nrx, cfg.num_tx, cfg.num_carriers)

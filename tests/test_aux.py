@@ -107,6 +107,15 @@ def test_csi_predictor_wrapper(tiny_ds, tmp_path):
     out = pred.inference(tiny_ds.rx[:1, :, 0], P[:, :1].T)
     assert out.shape == (1, TINY.num_carriers)
     assert out.dtype == np.complex64
+    # all-pairs deploy call: f32 vs int8 quantized path
+    planes = tiny_ds.rx_planes().reshape(
+        2, tiny_ds.num_packets, TINY.num_rx, TINY.len_ltf)
+    f32 = pred.all_pairs(planes)
+    q8 = pred.all_pairs(planes, int8=True)
+    assert f32.shape == (tiny_ds.num_packets, TINY.num_rx,
+                         TINY.num_tx, TINY.num_carriers)
+    rel = (np.abs(q8 - f32) ** 2).mean() / (np.abs(f32) ** 2).mean()
+    assert 10 * np.log10(rel + 1e-30) < -25.0
 
 
 def test_bs64_scaled_config():
