@@ -1,6 +1,8 @@
 #!/bin/bash
 # Round-2 TPU job chain: wait for the stage-3 sweep (if running), then
-# the protocol closed loop (500 pkts/SNR), then the BS64 end-to-end run.
+# (1) the protocol closed loop (500 pkts/SNR), (2) the headline bench
+# incl. the int8 paths, (3) the multi-user JSDM sweep artifact, and
+# (4) the BS64 end-to-end run (longest, checkpoint-resumable, last).
 # One TPU job at a time (single tunneled chip).
 set -u
 cd /root/repo
@@ -16,6 +18,15 @@ echo "[chain] closed loop protocol (500 pkts/SNR)"
 python scripts/run_closed_loop_tpu.py --packets 500 \
   > /tmp/closed_loop_protocol.log 2>&1
 echo "[chain] closed loop rc=$?"
+
+echo "[chain] bench (int8 paths, batch 1024 steady state)"
+BENCH_BATCH=1024 timeout 7200 python bench.py \
+  > /tmp/bench_r2_int8.log 2>&1
+echo "[chain] bench rc=$?"
+
+echo "[chain] multi-user JSDM sweep"
+timeout 7200 python scripts/run_mu_tpu.py > /tmp/mu_sweep.log 2>&1
+echo "[chain] mu rc=$?"
 
 echo "[chain] BS64 end-to-end (3000 pkts, reduced grid)"
 python scripts/run_bs32_tpu.py --num-tx 64 --num-rx 8 --packets 3000 \
