@@ -19,9 +19,9 @@ python scripts/run_closed_loop_tpu.py --packets 500 \
   > /tmp/closed_loop_protocol.log 2>&1
 echo "[chain] closed loop rc=$?"
 
-echo "[chain] bench (int8 paths, batch 1024 steady state)"
-BENCH_BATCH=1024 timeout 7200 python bench.py \
-  > /tmp/bench_r2_int8.log 2>&1
+echo "[chain] bench (int8 paths; both batches so the driver's own"
+echo "[chain] end-of-round bench.py run hits a warm compile cache)"
+timeout 14400 python bench.py > /tmp/bench_r2_int8.log 2>&1
 echo "[chain] bench rc=$?"
 
 echo "[chain] multi-user JSDM sweep"
