@@ -287,7 +287,8 @@ def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
         )
 
         qparams = jax.jit(
-            lambda p, b: quantize_params_int8(tcfg, p, b))(params, bn_state)
+            lambda p, b: quantize_params_int8(
+                tcfg, p, b, sig_len=cfg.len_ltf))(params, bn_state)
 
         def _estimate_q(qp, lsc, planes):
             if ls_pallas:

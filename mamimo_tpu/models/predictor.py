@@ -62,7 +62,8 @@ class CSIPredictor:
 
             if self._qparams is None:
                 self._qparams = jax.jit(
-                    lambda p, b: quantize_params_int8(self.tcfg, p, b)
+                    lambda p, b: quantize_params_int8(
+                        self.tcfg, p, b, sig_len=self.cfg.len_ltf)
                 )(self.params, self.bn_state)
             y = predict_all_pairs_planes_int8(
                 self.cfg, self.tcfg, self._qparams, x)

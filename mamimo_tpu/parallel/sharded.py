@@ -335,4 +335,9 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
 
     step_fn.gather = gather_step
     step_fn.gather_eval = gather_eval
+    # array-input eval (host-streamed batches arrive pre-sharded via
+    # device_put; the constraint in eval_core keeps them on `data`)
+    step_fn.array_eval = jax.jit(eval_core)
+    step_fn.batch_sharding = batch_sh
+    step_fn.pilot_sharding = pilot_sh
     return init_fn, step_fn

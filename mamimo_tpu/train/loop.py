@@ -299,10 +299,6 @@ def fit(
     """
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
-    if mesh is not None:
-        assert not host_stream, (
-            "mesh-parallel fit does not combine with host_stream"
-        )
 
     if host_stream:
         # larger-than-HBM path: mmap'd raw container + native C++ gather
@@ -392,15 +388,16 @@ def fit(
 
         init_fn, sh_step = make_sharded_train_step(
             cfg, tcfg, mesh, avg_sig_pow=avg_sig_pow)
-        # replicate the dataset once across the mesh; batches are then
-        # assembled as in-jit device gathers (the single-chip fast
-        # path), not per-step host NumPy indexing
-        rep = _NS(mesh, _PS())
-        mesh_data = jax.tree.map(
-            lambda a: jax.device_put(a, rep), _device_data(train_ds))
-        mesh_val = (jax.tree.map(
-            lambda a: jax.device_put(a, rep), _device_data(val_ds))
-            if val_ds is not None else mesh_data)
+        if not host_stream:
+            # replicate the dataset once across the mesh; batches are
+            # then assembled as in-jit device gathers (the single-chip
+            # fast path), not per-step host NumPy indexing
+            rep = _NS(mesh, _PS())
+            mesh_data = jax.tree.map(
+                lambda a: jax.device_put(a, rep), _device_data(train_ds))
+            mesh_val = (jax.tree.map(
+                lambda a: jax.device_put(a, rep), _device_data(val_ds))
+                if val_ds is not None else mesh_data)
         if start_epoch > 0:
             # resume on the mesh: re-place the checkpointed host arrays
             # with the same shardings a fresh init would use
