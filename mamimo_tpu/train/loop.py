@@ -295,7 +295,11 @@ def fit(
 
     With mesh given (a jax.sharding.Mesh with a 'data' and optionally a
     'model' axis), the train step runs DP+TP sharded over the mesh
-    (parallel/sharded.py); resume is not supported on this path yet.
+    (parallel/sharded.py); resume works (checkpointed host arrays are
+    re-placed with the init-time shardings), and host_stream=True
+    combines with it (native-loader batches device_put pre-sharded on
+    the data axis — the larger-than-HBM corpus never needs a full
+    device replica).
     """
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
@@ -419,14 +423,42 @@ def fit(
             opt_state = jax.tree.map(_replace, like, host_o)
         else:
             params, bn_state, opt_state = init_fn(k_init)
-        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
-                      idx_next=None):
-            return sh_step.gather(params, bn_state, opt_state, mesh_data,
-                                  jnp.asarray(idx_np), kstep, lr)
+        if host_stream:
+            # larger-than-HBM under the mesh: batches gathered on host
+            # by the native C++ loader, device_put pre-sharded on the
+            # `data` axis (the DP dim), then the array-input sharded
+            # step runs — nothing but the batch ever crosses the host
+            # boundary. (The single-chip double-buffer prefetch is not
+            # used here: the per-step host gather overlaps the device
+            # step through jax's async dispatch.)
+            def _put_sharded(sig, y, idx_np):
+                t = (idx_np % cfg.num_tx).astype(np.int64)
+                return (jax.device_put(sig.transpose(1, 0, 2),
+                                       sh_step.batch_sharding),
+                        jax.device_put(P_host[t], sh_step.pilot_sharding),
+                        jax.device_put(y.transpose(1, 0, 2),
+                                       sh_step.batch_sharding))
 
-        def run_val(params, bn_state, idx_np):
-            return sh_step.gather_eval(params, bn_state, mesh_val,
-                                       jnp.asarray(idx_np))
+            def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                          idx_next=None):
+                x2, pilot, y2 = _put_sharded(*loader.gather(idx_np), idx_np)
+                return sh_step(params, bn_state, opt_state, x2, pilot,
+                               y2, kstep, lr)
+
+            def run_val(params, bn_state, idx_np):
+                ld = val_loader if val_ds is not None else loader
+                x2, pilot, y2 = _put_sharded(*ld.gather(idx_np), idx_np)
+                return sh_step.array_eval(params, bn_state, x2, pilot, y2)
+        else:
+            def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                          idx_next=None):
+                return sh_step.gather(params, bn_state, opt_state,
+                                      mesh_data, jnp.asarray(idx_np),
+                                      kstep, lr)
+
+            def run_val(params, bn_state, idx_np):
+                return sh_step.gather_eval(params, bn_state, mesh_val,
+                                           jnp.asarray(idx_np))
 
         val_multi = None
     elif host_stream:

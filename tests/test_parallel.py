@@ -119,6 +119,29 @@ def test_fit_with_mesh(small_cfg):
     assert res.history["loss_real"][1] < res.history["loss_real"][0] * 1.5
 
 
+def test_fit_mesh_host_stream_matches(small_cfg, tmp_path):
+    """fit(mesh=..., host_stream=True) — native-loader batches
+    device_put pre-sharded on the data axis — reproduces the in-HBM
+    mesh gather path's loss trajectory (identical batches + rng)."""
+    from mamimo_tpu.config import TrainConfig
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+    from mamimo_tpu.train.loop import fit
+
+    cfg = small_cfg
+    ds = generate_dataset(cfg, seed=22, num_packets=8, snr_db=120.0,
+                          chunk=4, fft_size=8192)
+    tcfg = TrainConfig(hidden=(64, 64), batch_size=16, epochs=2,
+                       early_stop_patience=50, seed=0)
+    mesh = make_mesh({"data": 4, "model": 2})
+    r_mem = fit(cfg, tcfg, ds, verbose=False, mesh=mesh)
+    r_str = fit(cfg, tcfg, ds, verbose=False, mesh=mesh,
+                host_stream=True, workdir=str(tmp_path))
+    np.testing.assert_allclose(r_str.history["loss_real"],
+                               r_mem.history["loss_real"], rtol=2e-4)
+    np.testing.assert_allclose(r_str.history["val_loss_imag"],
+                               r_mem.history["val_loss_imag"], rtol=2e-4)
+
+
 def test_sharded_all_pairs_inference(small_cfg):
     """Antenna-pair-sharded inference == unsharded factored inference."""
     from mamimo_tpu.config import TrainConfig
