@@ -201,9 +201,20 @@ def cmd_sweep(args) -> None:
         from mamimo_tpu.eval.snr_sweep import run_mu_snr_sweep
 
         cfg = dataclasses.replace(cfg, num_users=args.num_users)
+        # the MU leg evaluates analytic CSI sources only (the per-user
+        # DNN predictor is a single-user artifact; loading it here
+        # would silently mis-scope it) — fail loudly, don't ignore
+        for flag, name in ((args.modeldir, "--modeldir"),
+                           (args.closed_loop, "--closed-loop")):
+            if flag:
+                raise SystemExit(
+                    f"[sweep] {name} is not supported with --num-users>1 "
+                    "(the MU sweep IS the closed loop, over LS/LMMSE/"
+                    "perfect CSI)")
         res = run_mu_snr_sweep(
             cfg, snr_levels=args.snr, num_packets=args.packets,
-            seed=args.seed, chunk=min(args.chunk, 8),
+            seed=args.seed, sources=("ls", "lmmse", "perfect"),
+            chunk=args.chunk or 8,
         )
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(args.out, "mu_sweep.json")
@@ -215,7 +226,7 @@ def cmd_sweep(args) -> None:
     res = run_snr_sweep(
         cfg, snr_levels=args.snr, num_packets=args.packets, seed=args.seed,
         predictor=predictor, closed_loop=args.closed_loop,
-        max_cl_packets=args.cl_packets, chunk=args.chunk,
+        max_cl_packets=args.cl_packets, chunk=args.chunk or 16,
     )
     os.makedirs(args.out, exist_ok=True)
     res.save(os.path.join(args.out, "sweep.json"))
@@ -336,7 +347,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--modeldir", default="")
     s.add_argument("--closed-loop", action="store_true")
     s.add_argument("--cl-packets", type=int, default=50)
-    s.add_argument("--chunk", type=int, default=16)
+    s.add_argument("--chunk", type=int, default=None,
+                   help="packets per compiled chunk (default 16; 8 for "
+                        "--num-users>1 — the vmapped MU program is "
+                        "~num_users x larger)")
     s.add_argument("--num-users", type=int, default=1,
                    help=">1 runs the multi-user JSDM closed-loop sweep")
     s.add_argument("-o", "--out", required=True)

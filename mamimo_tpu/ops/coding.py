@@ -255,14 +255,14 @@ def _pilot_polarity_np(n: int, z: int = 4):
     """IEEE 802.11 pilot polarity sequence p_{z}..p_{z+n-1}.
 
     The 127-periodic ±1 sequence is the output of the 802.11 scrambler
-    LFSR (x⁷ + x³ + 1, all-ones seed) mapped 0→+1 / 1→−1 (IEEE
+    LFSR (S(x) = x⁷ + x⁴ + 1, all-ones seed) mapped 0→+1 / 1→−1 (IEEE
     802.11-2016 §17.3.5.10); data symbols start at offset z=4 per the
     VHT convention (§21.3.7.6). This is the schedule the MathWorks
     helperGenPilots family applies to the data-symbol pilots."""
     state = [1] * 7
     seq = np.empty(127, np.float32)
     for i in range(127):
-        b = state[6] ^ state[3]            # x^7 + x^3 + 1 feedback
+        b = state[6] ^ state[3]            # x^7 + x^4 + 1 feedback (the 802.11 scrambler)
         seq[i] = 1.0 - 2.0 * b
         state = [b] + state[:6]
     return seq[(z + np.arange(n)) % 127]

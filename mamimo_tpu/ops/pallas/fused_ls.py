@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mamimo_tpu.config import SimConfig
+from mamimo_tpu.ops.pallas.util import _round_up
 from mamimo_tpu.ops.ltf import _hadamard_np
 
 
@@ -140,10 +141,6 @@ def ls_estimate_pallas(
 # ----------------------------------------------------------------------
 # Flat-planes LS kernel: DFT + Kronecker block-despread, z in VMEM
 # ----------------------------------------------------------------------
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
 
 def ls_planes_pallas_constants(cfg: SimConfig, block_samples: int = 8,
                                dtype=None):

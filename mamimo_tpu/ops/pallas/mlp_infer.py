@@ -32,10 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mamimo_tpu.config import TrainConfig
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mamimo_tpu.ops.pallas.util import _round_up
 
 
 def fold_bn_into_dense(tcfg: TrainConfig, params, bn_state):

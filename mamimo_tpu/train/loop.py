@@ -195,6 +195,12 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
         return params, new_bn, opt_state, per_dim
 
     def eval_core(params, bn_state, x2, pilot, y2):
+        if constrain is not None:
+            # the mesh path shards the eval batch over `data` too — the
+            # in-jit gather from replicated data would otherwise
+            # propagate replicated and run the whole batch on every
+            # device (no DP speedup on the validation pass)
+            x2, pilot, y2 = constrain(x2, pilot, y2)
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
         pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
         return jnp.mean((pred - y2) ** 2, axis=(1, 2))
@@ -412,15 +418,25 @@ def fit(
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as _P
 
-            like = opt.init(params)   # inherits the param shardings
+            # optimizer-state shardings WITHOUT materializing a
+            # throwaway opt.init(params) on device (that would double
+            # the Adam m+v HBM footprint at the resume instant): lower
+            # opt.init on abstract sharded inputs and read the
+            # propagated output shardings
+            abstract = jax.tree.map(
+                lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                                  sharding=s),
+                params, p_sh)
+            out_sh = jax.jit(opt.init).lower(abstract).compile() \
+                .output_shardings
             rep = NamedSharding(mesh, _P())
 
-            def _replace(lk, v):
-                sh = (lk.sharding if isinstance(lk.sharding, NamedSharding)
-                      else rep)     # scalars (e.g. adam count): replicate
+            def _replace(sh, v):
+                if not isinstance(sh, NamedSharding):
+                    sh = rep      # scalars (e.g. adam count): replicate
                 return jax.device_put(v, sh)
 
-            opt_state = jax.tree.map(_replace, like, host_o)
+            opt_state = jax.tree.map(_replace, out_sh, host_o)
         else:
             params, bn_state, opt_state = init_fn(k_init)
         if host_stream:
