@@ -46,14 +46,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
+    from mamimo_tpu.channel.scattering import Scenario
     from mamimo_tpu.eval.snr_sweep import SweepResult, plot_sweep, run_snr_sweep
-    from mamimo_tpu.pipeline.dataset import CSIDataset
     from mamimo_tpu.train.ckpt import load_checkpoint
     from mamimo_tpu.train.loop import evaluate_dataset
 
     ck = load_checkpoint(os.path.join(args.workdir, "best"))
     cfg = ck["cfg"]
-    train_ds = CSIDataset.load(os.path.join(args.workdir, "train.npz"))
+    # lazy npz access: read ONLY the scenario_* members, not the
+    # multi-GB corpus (np.load reads zip members on access)
+    import jax.numpy as jnp
+
+    z = np.load(os.path.join(args.workdir, "train.npz"))
+    scenario = Scenario(**{
+        k[len("scenario_"):]: jnp.asarray(z[k])
+        for k in z.files if k.startswith("scenario_")})
+    z.close()
     log("using the training scenario for test generation")
 
     def predictor(ds):
@@ -81,7 +89,7 @@ def main():
         one = run_snr_sweep(
             cfg, snr_levels=[snr], num_packets=args.packets,
             seed=args.seed, predictor=predictor, chunk=args.chunk,
-            scenario=train_ds.scenario,
+            scenario=scenario,
         )
         acc.snr_levels.append(snr)
         for field in ("nmse", "nmse_ci", "ber", "evm", "bf_gain"):
