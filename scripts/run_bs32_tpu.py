@@ -35,7 +35,10 @@ def main():
     ap.add_argument("--num-tx", type=int, default=32)
     ap.add_argument("--num-rx", type=int, default=4)
     ap.add_argument("--test-packets", type=int, default=500)
-    ap.add_argument("--epochs", type=int, default=300)
+    # BS32 val MSE plateaus by ~epoch 30 (runs/bs32_paper/history.json);
+    # 150 caps the wall clock while staying well past the plateau +
+    # early-stop window (patience 25)
+    ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--snr", type=float, nargs="+",
                     default=[-25, -20, -15, -10, -5, 0, 5, 10])
     ap.add_argument("--workdir", default="runs/bs32")
@@ -51,10 +54,8 @@ def main():
     log(f"devices: {jax.devices()}")
 
     from mamimo_tpu.config import SimConfig, TrainConfig
-    from mamimo_tpu.eval.snr_sweep import plot_sweep, run_snr_sweep
     from mamimo_tpu.pipeline.dataset import generate_dataset
     from mamimo_tpu.train import fit
-    from mamimo_tpu.train.loop import evaluate_dataset
 
     cfg = SimConfig(num_tx=args.num_tx, num_rx=args.num_rx)
     # 16 fused optimizer steps per dispatch: amortizes the ~60 ms tunnel
@@ -97,33 +98,32 @@ def main():
     log(f"stage 2 OK in {time.time()-t0:.0f}s: {res.epochs_ran} epochs, "
         f"best val {res.best_val.tolist()}")
 
-    # ---- stage 3: sweep ----
-    from mamimo_tpu.train.ckpt import load_checkpoint
-
-    ck = load_checkpoint(os.path.join(args.workdir, "best"))
-
-    def predictor(ds):
-        pred, _ = evaluate_dataset(ds.cfg, ck["tcfg"], ck["params"],
-                                   ck["bn_state"], ds, batch_packets=8)
-        return pred
+    # ---- stage 3: sweep (one subprocess per SNR level) ----
+    # the tunnel client leaks host memory across RPCs (a single-process
+    # 15-level sweep was OOM-killed at 108 GB); run_sweep_stage3.py is
+    # per-level resumable, loads only the scenario from the corpus npz,
+    # and each level's process exits cleanly
+    import subprocess
 
     t0 = time.time()
-    log("stage 3: SNR sweep (training placement, fresh channel seeds)...")
-    sweep = run_snr_sweep(
-        cfg, snr_levels=args.snr, num_packets=args.test_packets,
-        seed=args.seed + 1, predictor=predictor,
-        closed_loop=args.closed_loop, max_cl_packets=50, chunk=32,
-        scenario=train_ds.scenario,
-    )
+    log("stage 3: SNR sweep (training placement, fresh channel seeds, "
+        "per-level subprocesses)...")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for snr in args.snr:
+        rc = subprocess.run(
+            [sys.executable, os.path.join(here, "run_sweep_stage3.py"),
+             "--workdir", args.workdir, "--snr", str(snr),
+             "--packets", str(args.test_packets),
+             "--seed", str(args.seed + 1)]).returncode
+        log(f"stage 3 level {snr:+.0f} rc={rc}")
     outdir = os.path.join(args.workdir, "test_results")
-    os.makedirs(outdir, exist_ok=True)
-    sweep.save(os.path.join(outdir, "sweep.json"))
-    plot_sweep(sweep, outdir)
     log(f"stage 3 OK in {time.time()-t0:.0f}s -> {outdir}/sweep.json")
+    with open(os.path.join(outdir, "sweep.json")) as f:
+        nmse = json.load(f)["nmse"]
     log("summary NMSE(dB): " + json.dumps({
         s: [round(10 * __import__('math').log10(v + 1e-30), 2)
             for v in vals]
-        for s, vals in sweep.nmse.items()}))
+        for s, vals in nmse.items()}))
 
 
 if __name__ == "__main__":
