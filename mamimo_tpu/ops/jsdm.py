@@ -54,21 +54,30 @@ def jsdm_transmit_weights(
     h = jnp.asarray(h_users, jnp.complex64)
     u_cnt, n_carr, nt, _ = h.shape
     covs = user_covariances(h)                        # (U, Nt, Nt)
+    if int_rank is None:
+        int_rank = num_sts * (u_cnt - 1)
 
     rows = []
     fbb = []
     eye = jnp.eye(nt, dtype=jnp.complex64)
     for u in range(u_cnt):
-        # signal-to-leakage beamformer (whitened generalized eigvecs):
-        # maximize b^H R_u b / b^H (R_int + δI) b — the static-shape
-        # analog of the example's block-diagonalization grouping.
+        # block diagonalization: project the user's covariance onto the
+        # orthogonal complement of the OTHER users' dominant
+        # (rank-int_rank) covariance subspace, then eigenbeam inside it.
+        # (An earlier SLNR whitened-eig form — max b^H R_u b / b^H
+        # (R_int+δI) b — over-nulled with EXACT CSI: it trades own-signal
+        # gain against interference energy that the projection form
+        # nulls for free, and measured 3–5 dB LOWER beamforming gain for
+        # perfect CSI than for noisy LS CSI, inverting the BER ordering
+        # at −10 dB. BD keeps full gain in the complement — scale
+        # invariant, regularization free.)
         r_int = jnp.sum(covs, axis=0) - covs[u]
-        delta = 1e-3 * jnp.real(jnp.trace(r_int)) / nt + 1e-12
-        l = jnp.linalg.cholesky(r_int + delta * eye)
-        li = jnp.linalg.solve(l, eye)                 # L^{-1}
-        a = li @ covs[u] @ li.conj().T                # Hermitian
-        _, v_a = jnp.linalg.eigh(a)
-        b_u = li.conj().T @ v_a[:, nt - num_sts:]     # (Nt, num_sts)
+        _, v_int = jnp.linalg.eigh(r_int)
+        u_int = v_int[:, nt - int_rank:]              # (Nt, int_rank)
+        proj = eye - u_int @ u_int.conj().T
+        r_proj = proj @ covs[u] @ proj.conj().T       # Hermitian
+        _, v_a = jnp.linalg.eigh(r_proj)
+        b_u = v_a[:, nt - num_sts:]                   # (Nt, num_sts)
         b_u = b_u / jnp.linalg.norm(b_u, axis=0, keepdims=True)
         rows.append(b_u.conj().T)                     # beamformer rows
 
