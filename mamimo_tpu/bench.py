@@ -245,7 +245,8 @@ def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
                               ls_bf16: bool = False, unroll: int = 1,
                               input_bf16: bool = False,
                               ls_pallas: bool = False,
-                              dnn_int8: bool = False):
+                              dnn_int8: bool = False,
+                              serving_planes: bool = False):
     """Fused estimation step on the framework's CANONICAL raw layout:
     rx-major float32 planes (2, B, num_rx, len_ltf) — what the dataset
     pipeline stores and the loaders emit (complex64 cannot even cross
@@ -300,6 +301,25 @@ def make_estimation_fn_planes(cfg, tcfg, params, bn_state,
             return h_ls, h_dnn
 
         return _chained_step(_estimate_q, (qparams, ls_consts),
+                             unroll=unroll)
+
+    if serving_planes:
+        # SERVING output form: everything stays real planes — complex64
+        # cannot cross the host↔device boundary on this backend, so a
+        # server fetching results pays the plane split anyway; the
+        # device-side slice + lax.complex interleave of the other paths
+        # (~3 HBM passes over ~500 MB at batch 1024) is skipped. LS
+        # output keeps the kernel's padded-lane layout; the DNN output
+        # is the (2, S, ntx, C) f32 planes pair.
+        from mamimo_tpu.models.mlp import _factored_all_pairs
+
+        def _estimate_sp(p, bn, lsc, planes):
+            h_ls = ls_planes_pallas(cfg, planes, lsc, raw=True)
+            y2 = _factored_all_pairs(cfg, tcfg, p, bn, planes,
+                                     dtype=jnp.bfloat16)
+            return h_ls, y2
+
+        return _chained_step(_estimate_sp, (params, bn_state, ls_consts),
                              unroll=unroll)
 
     def _estimate(p, bn, lsc, planes):
@@ -535,6 +555,18 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
         except Exception as e:                   # pragma: no cover
             print(f"[bench] pallas_ls_bf16in unavailable: {e}",
                   file=sys.stderr)
+        # serving form: outputs stay real planes (complex64 cannot cross
+        # the host boundary here, so serving fetches planes regardless —
+        # the on-device slice+complex interleave is skipped)
+        try:
+            timings["pallas_ls_serving_bf16in"] = _time_fn(
+                make_estimation_fn_planes(cfg, tcfg, params, bn_state,
+                                          input_bf16=True, ls_pallas=True,
+                                          serving_planes=True),
+                planes_bf16, iters)
+        except Exception as e:                   # pragma: no cover
+            print(f"[bench] pallas_ls_serving_bf16in unavailable: {e}",
+                  file=sys.stderr)
 
     # int8 DNN (dynamic per-row activation quant, s8×s8→s32 MXU at 2×
     # the bf16 rate) — guarded: falls back gracefully if the backend
@@ -553,6 +585,7 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             print(f"[bench] {name} unavailable: {e}", file=sys.stderr)
 
     FULL_PATHS = ("pallas_factored", "pallas_full", "pallas_ls_bf16in",
+                  "pallas_ls_serving_bf16in",
                   "int8_dnn_bf16in", "pallas_ls_int8_bf16in",
                   "xla_planes", "xla_planes_bf16", "xla_planes_bf16_bf16ls",
                   "xla_planes_bf16in", "xla_timemajor_bf16")
@@ -580,6 +613,11 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
             fn = make_estimation_fn_planes(
                 cfg, tcfg, params, bn_state, input_bf16=True,
                 ls_pallas=True, unroll=unroll)
+            arg = planes_bf16
+        elif k == "pallas_ls_serving_bf16in":
+            fn = make_estimation_fn_planes(
+                cfg, tcfg, params, bn_state, input_bf16=True,
+                ls_pallas=True, serving_planes=True, unroll=unroll)
             arg = planes_bf16
         elif k in ("int8_dnn_bf16in", "pallas_ls_int8_bf16in"):
             fn = make_estimation_fn_planes(

@@ -197,7 +197,7 @@ def _planes_kernel(xr_ref, xi_ref, ar_ref, ai_ref, k_ref,
 
 def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
                      block_samples: int = 8, interpret: bool | None = None,
-                     as_planes: bool = False):
+                     as_planes: bool = False, raw: bool = False):
     """LS estimation from FLAT canonical planes, fused in one kernel.
 
     Identical math to ops/estimate.py::ls_estimate_planes, but the
@@ -210,9 +210,19 @@ def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
       consts: optional from ls_planes_pallas_constants(cfg,
         block_samples, dtype=planes.dtype).
       as_planes: return (2, S, num_tx, C) f32 planes instead of complex.
+      raw: return the kernel outputs untouched — (hr, hi) f32
+        (S·num_tx [padded to the block], C padded to a 128-lane
+        multiple). This is the SERVING form: complex64 cannot cross
+        the host↔device boundary on this backend (transfers always go
+        through plane splitting, utils/numerics.py), so the device-side
+        slice + lax.complex interleave that the other forms pay
+        (~3 HBM passes over ~500 MB at bench batch 1024) is pure waste
+        when the consumer is a host fetch. Densify with
+        ls_raw_to_complex when an on-device complex consumer needs it.
 
     Returns:
-      (S, num_tx, num_carriers) complex64 (rx-major), or planes.
+      (S, num_tx, num_carriers) complex64 (rx-major), planes, or the
+      raw (hr, hi) pair.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -257,8 +267,19 @@ def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
         interpret=interpret,
     )(x[0], x[1], ar, ai, k)
 
+    if raw:
+        return hr, hi
     hr = hr[: s * nsym, :c].reshape(s, nsym, c)
     hi = hi[: s * nsym, :c].reshape(s, nsym, c)
     if as_planes:
         return jnp.stack([hr, hi])
+    return jax.lax.complex(hr, hi)
+
+
+def ls_raw_to_complex(cfg: SimConfig, hr, hi, s: int):
+    """Densify ls_planes_pallas(raw=True) output to the standard
+    (S, num_tx, num_carriers) complex64 rx-major form."""
+    nsym, c = cfg.num_tx, cfg.num_carriers
+    hr = hr[: s * nsym, :c].reshape(s, nsym, c)
+    hi = hi[: s * nsym, :c].reshape(s, nsym, c)
     return jax.lax.complex(hr, hi)

@@ -118,3 +118,9 @@ def test_ls_planes_pallas_matches_xla():
                                         as_planes=True))
     np.testing.assert_allclose(got_p[0] + 1j * got_p[1], ref,
                                rtol=0, atol=2e-4)
+    # raw serving form (padded kernel output) densifies to the same
+    from mamimo_tpu.ops.pallas.fused_ls import ls_raw_to_complex
+
+    hr, hi = ls_planes_pallas(cfg, planes, block_samples=4, raw=True)
+    got_r = np.asarray(ls_raw_to_complex(cfg, hr, hi, s))
+    np.testing.assert_allclose(got_r, ref, rtol=0, atol=2e-4)
