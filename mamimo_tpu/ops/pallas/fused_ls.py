@@ -190,14 +190,17 @@ def _planes_kernel(xr_ref, xi_ref, ar_ref, ai_ref, k_ref,
     # DFT's own bf16 quantization on that path)
     k = k_ref[:]
     hr_ref[:] = jnp.dot(k, zr.astype(k.dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32
+                        ).astype(hr_ref.dtype)
     hi_ref[:] = jnp.dot(k, zi.astype(k.dtype),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32
+                        ).astype(hi_ref.dtype)
 
 
 def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
                      block_samples: int = 8, interpret: bool | None = None,
-                     as_planes: bool = False, raw: bool = False):
+                     as_planes: bool = False, raw: bool = False,
+                     out_dtype=None):
     """LS estimation from FLAT canonical planes, fused in one kernel.
 
     Identical math to ops/estimate.py::ls_estimate_planes, but the
@@ -263,7 +266,8 @@ def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
             pl.BlockSpec((r, cp_), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((r, cp_), blk, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((rows, cp_), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, cp_),
+                                        out_dtype or jnp.float32)] * 2,
         interpret=interpret,
     )(x[0], x[1], ar, ai, k)
 
