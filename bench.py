@@ -12,11 +12,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mamimo_tpu.bench import run_bench  # noqa: E402
+from mamimo_tpu.bench import run_bench, run_train_bench  # noqa: E402
 
 if __name__ == "__main__":
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     root = os.path.dirname(os.path.abspath(__file__))
+    if "--train" in sys.argv:
+        # training throughput (steps/s, achieved TFLOP/s); the headline
+        # inference metric stays the default single JSON line
+        run_train_bench(repo_root=root)
+        sys.exit(0)
     if os.environ.get("BENCH_BATCH"):
         batches = [int(os.environ["BENCH_BATCH"])]
     else:

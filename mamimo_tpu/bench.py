@@ -165,6 +165,89 @@ def _chained_step(core, extra=(), unroll: int = 1):
     return lambda rx: _step(extra, rx)
 
 
+def _chained_step_invariant(core, extra, perturb, unroll: int = 1):
+    """Timing step with loop-INVARIANT big operands: ``step(s) -> (s', s')``.
+
+    The round-2 harness chained iterations by perturbing 8 rows of the
+    input *carried through the scan* — measured 0.70 ms/iteration at
+    batch 1024, almost all of it XLA double-buffering the 168 MB carry
+    (scripts/probe_r3a.py `noop_u8`). Here the batch and weights ride as
+    jit arguments that never change across iterations (no carry copy);
+    the value-visible chain runs through a (1+eps(s)) scale applied by
+    ``perturb(extra, eps)`` to SMALL constants every output element
+    depends on (the LS DFT matrix / the layer-1 bias). Serialization is
+    unchanged: iteration i+1's outputs are a numeric function of the
+    full reduction of iteration i's outputs, and each dispatch's scalar
+    input differs, so a value-hashing result cache never hits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _step(ex, s):
+        def one(s, _):
+            # bf16-representable relative scale (see _perturb)
+            eps = 1e-2 * s * jax.lax.rsqrt(s * s + 1.0)
+            out = core(*perturb(ex, eps))
+            return _abs_sum(out), None
+
+        s, _ = jax.lax.scan(one, jnp.float32(s), None, length=unroll)
+        return s, s
+
+    return lambda s: _step(extra, s)
+
+
+def make_estimation_fn_serving_r3(cfg, tcfg, params, bn_state,
+                                  unroll: int = 8, block_samples: int = 8,
+                                  dma_samples: int = 32):
+    """Round-3 serving hot path: LS v2 kernel (merged complex dots,
+    decoupled DMA/despread blocks, fused Σh² benchmark reduction) + the
+    XLA factored bf16 DNN, timed under the invariant-operand harness.
+
+    Step input is a float32 scalar seed; the bf16 planes batch rides as
+    an invariant jit argument. Per iteration the LS estimate tensor is
+    fully computed and written to HBM (bf16 serving form) — only the
+    benchmark checksum comes from the kernel's fused partials instead of
+    an extra HBM re-read.
+    """
+    import jax.numpy as jnp
+
+    from mamimo_tpu.models.mlp import _factored_all_pairs
+    from mamimo_tpu.ops.pallas import ls_planes_pallas_v2_constants
+    from mamimo_tpu.ops.pallas.fused_ls import ls_planes_pallas_v2
+
+    consts = ls_planes_pallas_v2_constants(cfg, block_samples,
+                                           dtype=jnp.bfloat16)
+
+    def core(p, bn, c, planes):
+        _, ssq = ls_planes_pallas_v2(
+            cfg, planes, c, block_samples=block_samples,
+            dma_samples=dma_samples, with_ssq=True,
+            out_dtype=jnp.bfloat16)
+        y2 = _factored_all_pairs(cfg, tcfg, p, bn, planes,
+                                 dtype=jnp.bfloat16).astype(jnp.bfloat16)
+        return ssq, y2
+
+    def perturb(ex, eps):
+        p, bn, c, planes = ex
+        b, k = c
+        scale = 1.0 + eps
+        # scale the DFT constant (every LS output element) and the
+        # layer-1 bias (every DNN output element, through relu+BN+W2/W3)
+        b2 = b * scale.astype(b.dtype)
+        b1 = p["dense"][0]["b"] * scale
+        p2 = {**p, "dense": [{**p["dense"][0], "b": b1}]
+              + list(p["dense"][1:])}
+        return p2, bn, (b2, k), planes
+
+    def make(planes):
+        return _chained_step_invariant(
+            core, (params, bn_state, consts, planes), perturb,
+            unroll=unroll)
+
+    return make
+
+
 def make_estimation_fn(cfg, tcfg, params, bn_state,
                        use_pallas: bool = False, chained: bool = False,
                        use_bf16: bool = False, from_planes: bool = False):
@@ -420,6 +503,119 @@ def _time_fn(step, arg, iters, per_call: int = 1):
         rx, s = step(rx)
     float(s)                                 # true barrier: scalar fetch
     return (time.perf_counter() - t0) / (iters * per_call)
+
+
+def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 8,
+                    calls: int = 10, num_packets: int = 64,
+                    repo_root: str | None = None,
+                    print_result: bool = True) -> dict:
+    """Training-throughput benchmark: optimizer steps/s and achieved
+    TFLOP/s for the BS32 train step on one chip.
+
+    Measures the production path of train/loop.py::make_train_step —
+    in-jit batch gather from the device dataset, per-plane AWGN draw,
+    value_and_grad of the stacked real+imag MLP, Adam update with
+    donated params/opt state — scanned ``steps_per_call`` steps per
+    dispatch exactly like ``fit(steps_per_call=K)``. Chaining is
+    intrinsic (each step consumes the previous step's params), and a
+    float32 loss fetch closes every timing window; FLOPs are counted as
+    3× forward (fwd + 2× for the backward) over the three dense layers
+    of both planes. The matching reference harness is the Keras fit it
+    replaces (massiveMIMO_CSI_prediction_DNN.py:283-328).
+    """
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(root, ".jax_cache"))
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mamimo_tpu.config import SimConfig, TrainConfig
+    from mamimo_tpu.models.mlp import init_stacked, model_input_spec
+    from mamimo_tpu.train.loop import make_train_step
+
+    cfg = SimConfig(num_tx=int(os.environ.get("BENCH_NT", "32")),
+                    num_rx=int(os.environ.get("BENCH_NR", "4")))
+    key = jax.random.PRNGKey(0)
+
+    # synthetic device dataset in the training container layout
+    # (content does not affect timing; complex arrays built inside jit)
+    @jax.jit
+    def _mk_data(k):
+        k1, k2 = jax.random.split(k)
+        rx = jax.random.normal(
+            k1, (num_packets, cfg.len_ltf, cfg.num_rx, 2))
+        h = jax.random.normal(
+            k2, (num_packets, cfg.num_carriers, cfg.num_tx,
+                 cfg.num_rx, 2))
+        from mamimo_tpu.ops.ltf import pilot_p_matrix
+
+        return {"rx": jax.lax.complex(rx[..., 0], rx[..., 1]),
+                "h": jax.lax.complex(h[..., 0], h[..., 1]),
+                "P": pilot_p_matrix(cfg.num_tx).astype(jnp.float32)}
+
+    data = _mk_data(key)
+    n_samples = num_packets * cfg.num_tx * cfg.num_rx
+    results = {}
+    for prec in ("f32", "bf16"):
+        for bs in batch_sizes:
+            tcfg = TrainConfig(batch_size=bs, matmul_dtype=prec,
+                               steps_per_call=steps_per_call)
+            params, bn_state = init_stacked(key, cfg, tcfg)
+            opt = optax.adam(tcfg.lr)
+            opt_state = jax.jit(opt.init)(params)
+            step = make_train_step(cfg, tcfg, data, 1.0, opt)[0]
+
+            def mk_args(k):
+                idx = jax.random.randint(
+                    k, (steps_per_call, bs), 0, n_samples)
+                keys = jax.random.split(k, steps_per_call)
+                return idx, keys
+
+            # warmup/compile + forced fetch
+            idx, keys = mk_args(jax.random.PRNGKey(1))
+            params, bn_state, opt_state, loss = step.multi(
+                params, bn_state, opt_state, idx, keys, tcfg.lr)
+            float(loss[0])
+            t0 = time.perf_counter()
+            for i in range(calls):
+                idx, keys = mk_args(jax.random.PRNGKey(2 + i))
+                params, bn_state, opt_state, loss = step.multi(
+                    params, bn_state, opt_state, idx, keys, tcfg.lr)
+            float(loss[0])                      # true barrier
+            dt = (time.perf_counter() - t0) / (calls * steps_per_call)
+
+            _, in_dim = model_input_spec(cfg, tcfg)
+            h1, h2 = tcfg.hidden
+            fwd = 2 * 2.0 * bs * (in_dim * h1 + h1 * h2
+                                  + h2 * cfg.num_carriers)
+            results[f"{prec}_bs{bs}"] = {
+                "step_ms": round(dt * 1e3, 3),
+                "steps_per_s": round(1.0 / dt, 1),
+                "samples_per_s": round(bs / dt, 1),
+                "achieved_tflops": round(3.0 * fwd / dt / 1e12, 2),
+            }
+
+    best = max(results.values(), key=lambda r: r["achieved_tflops"])
+    out = {
+        "metric": "train_step_tflops",
+        "value": best["achieved_tflops"],
+        "unit": "TFLOP/s",
+        "extra": {"device": str(jax.devices()[0]),
+                  "steps_per_call": steps_per_call,
+                  "paths": results},
+    }
+    if print_result:
+        print(json.dumps(out))
+    return out
 
 
 def run_bench(batch_packets: int = 64, iters: int = 20,

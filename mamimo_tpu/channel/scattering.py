@@ -70,9 +70,44 @@ def ura_positions(n: int, ncols: int, spacing: float) -> np.ndarray:
     return pos
 
 
+def helper_array_info(num_tx: int, num_rx: int, num_sts: int,
+                      validate: bool = True):
+    """Array-geometry dispatch of the MathWorks ``helperArrayInfo(prm)``
+    helper (called at generate_maMIMO_LTF.m:123 and
+    helperApplyMUChannel.m:49): the Tx array is a ULA of numTx elements
+    when a single data stream is sounded, and a partitioned URA of
+    [numTx/numSTS × numSTS] elements otherwise
+    (generate_maMIMO_LTF.m:126-136); the per-user Rx array follows the
+    same rule with [numRx/numSTS_u × numSTS_u]
+    (generate_maMIMO_LTF.m:145-156).
+
+    Returns (is_tx_ura, exp_factor_tx, is_rx_ura, exp_factor_rx).
+    """
+    if validate:
+        if num_tx % num_sts:
+            raise ValueError(
+                f"num_tx={num_tx} must be a multiple of num_sts={num_sts}")
+        if num_rx < num_sts:
+            raise ValueError(
+                f"num_rx={num_rx} must be >= num_sts={num_sts}")
+    exp_tx = num_tx // num_sts
+    exp_rx = num_rx // num_sts
+    is_ura = num_sts > 1
+    return is_ura, exp_tx, is_ura, exp_rx
+
+
+def resolve_geometry(geometry: str, num_sts: int) -> str:
+    """Map the config's geometry flag to a concrete layout: 'auto'
+    follows helper_array_info (URA iff num_sts > 1); 'ula'/'ura' are
+    manual overrides."""
+    if geometry == "auto":
+        return "ura" if num_sts > 1 else "ula"
+    return geometry
+
+
 def array_positions(n: int, geometry: str, spacing: float,
                     ncols: int = 1) -> np.ndarray:
-    if geometry == "ura":
+    if resolve_geometry(geometry, max(ncols, 1)) == "ura":
         return ura_positions(n, max(ncols, 1), spacing)
     return ula_positions(n, spacing)
 

@@ -50,10 +50,12 @@ class SimConfig:
     scat_radius_frac: float = 0.1  # scatterer box half-size = frac * range
     c_light: float = 299792458.0
 
-    # --- array geometry (helperArrayInfo behaviour: ULA for the
-    #     single-stream configs, URA [n/num_sts × num_sts] otherwise) ---
-    tx_geometry: str = "ula"      # 'ula' | 'ura'
-    rx_geometry: str = "ula"
+    # --- array geometry ('auto' = helperArrayInfo behaviour: ULA for
+    #     single-stream configs, URA [n/num_sts × num_sts] when
+    #     num_sts > 1 — channel/scattering.py::helper_array_info;
+    #     'ula'/'ura' are manual overrides) ---
+    tx_geometry: str = "auto"     # 'auto' | 'ula' | 'ura'
+    rx_geometry: str = "auto"
 
     # --- channel model (channel/scattering.py vs channel/cdl.py) ---
     # 'scattering' = the reference's one-ring scatterer model
@@ -180,6 +182,13 @@ class TrainConfig:
     bn_momentum: float = 0.99          # Keras BatchNormalization defaults
     bn_eps: float = 1e-3
     seed: int = 0
+    # training matmul compute dtype: 'f32' (default; on TPU the MXU
+    # already runs single-pass-bf16 for f32 dots under JAX's DEFAULT
+    # matmul precision) or 'bf16' (explicit bf16 operand storage at each
+    # dense layer — halves activation/weight HBM traffic; accumulation
+    # stays float32, BN/loss/optimizer stay float32). Gate on the NMSE
+    # parity check in PERF.md §Training before enabling for paper runs.
+    matmul_dtype: str = "f32"
     # optimizer steps fused into one dispatch via lax.scan — amortizes
     # per-call latency on remote/tunneled runtimes (no semantic change)
     steps_per_call: int = 1

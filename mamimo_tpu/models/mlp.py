@@ -115,8 +115,19 @@ def csi_mlp_apply(
     new_mean, new_var = [], []
     h = x
     n_hidden = len(params["dense"])
+    # 'bf16': explicit bf16 operand storage per dense matmul (halved HBM
+    # activation/weight traffic; f32 accumulation via
+    # preferred_element_type). Params/BN/loss stay float32.
+    mm_dt = jnp.bfloat16 if tcfg.matmul_dtype == "bf16" else None
+
+    def mm(a, w):
+        if mm_dt is None:
+            return a @ w
+        return jnp.matmul(a.astype(mm_dt), w.astype(mm_dt),
+                          preferred_element_type=jnp.float32)
+
     for i, lyr in enumerate(params["dense"]):
-        h = h @ lyr["w"] + lyr["b"]
+        h = mm(h, lyr["w"]) + lyr["b"]
         h = jax.nn.relu(h)
         if params["bn"]:
             if train:
@@ -135,7 +146,7 @@ def csi_mlp_apply(
             keep = 1.0 - tcfg.dropout
             mask = jax.random.bernoulli(sub, keep, h.shape)
             h = jnp.where(mask, h / keep, 0.0)
-    y = h @ params["out"]["w"] + params["out"]["b"]
+    y = mm(h, params["out"]["w"]) + params["out"]["b"]
     if train and params["bn"]:
         bn_state = {"mean": new_mean, "var": new_var}
     return y, bn_state

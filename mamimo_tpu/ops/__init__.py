@@ -8,7 +8,9 @@ from mamimo_tpu.ops.ltf import (  # noqa: F401
     gen_preamble,
 )
 from mamimo_tpu.ops.estimate import (  # noqa: F401
+    lmmse_eig_factor,
     lmmse_estimate,
+    lmmse_estimate_eig,
     ls_estimate,
     ls_estimate_matmul,
 )

@@ -220,6 +220,85 @@ def ls_estimate_rxmajor(cfg: SimConfig, rx, consts=None):
     return jnp.einsum("jn,brnc->brjc", p.astype(rx.dtype), y)
 
 
+def lmmse_tau_rms(tau):
+    """The reference's rms-delay proxy from the scatterer 'h' vector
+    (LMMSE_ce.m:27-30 — see lmmse_weight for the delays-as-h quirk)."""
+    tau = jnp.asarray(tau)
+    ns = tau.shape[-1]
+    k = jnp.arange(ns, dtype=tau.dtype)
+    w = tau * tau                                    # τ_s² (tau is real)
+    hh = jnp.sum(w, axis=-1)
+    tmp = w * k
+    r = jnp.sum(tmp, axis=-1) / hh
+    r2 = jnp.sum(tmp * k, axis=-1) / hh
+    return jnp.sqrt(jnp.maximum(r2 - r * r, 0.0))
+
+
+def lmmse_rf(cfg: SimConfig, tau):
+    """Frequency-correlation matrix Rf[a,b] = 1/(1 + j·2π·τ_rms·df·(a−b))
+    (LMMSE_ce.m:33-36; Rhp = Rpp0 = Rf). Hermitian by construction."""
+    tau_rms = lmmse_tau_rms(tau)
+    n = cfg.num_carriers
+    df = 1.0 / n
+    a = jnp.arange(n)
+    diff = (a[:, None] - a[None, :]).astype(jnp.float32)
+    jw = 1j * 2.0 * jnp.pi * tau_rms[..., None, None] * df
+    return 1.0 / (1.0 + jw * diff)
+
+
+def lmmse_eig_factor(cfg: SimConfig, tau):
+    """Eigendecomposition of Rf, the per-packet half of the LMMSE
+    estimator: Rf = U·diag(λ)·Uᴴ with λ real (Rf is Hermitian).
+
+    Structure exploited (this is a BEAT over LMMSE_ce.m:37-39, which
+    LU-solves Rpp = Rf + I/snr blindly per (packet, rx-antenna)): Rpp
+    differs from Rf only by σ²I, so Rpp shares Rf's eigenvectors and
+
+        M = Rf·Rpp⁻¹ = U·diag(λ/(λ + 1/snr))·Uᴴ.
+
+    One factorization per packet serves every rx antenna AND every SNR
+    level of a shared-scenario sweep (run_snr_sweep reuses channel
+    seeds, so τ — hence Rf — is identical across the 18 levels: 72
+    solves collapse into 1 eigh + diagonal rescales).
+
+    Returns (u, lam): (..., C, C) complex, (..., C) float.
+    """
+    lam, u = jnp.linalg.eigh(lmmse_rf(cfg, tau))
+    return u, lam
+
+
+def lmmse_estimate_eig(cfg: SimConfig, h_ls, tau=None, snr_db=None,
+                       factors=None):
+    """LMMSE estimate through the eigenbasis of Rf — identical math to
+    lmmse_estimate (M·h with M = Rf·(Rf + I/snr)⁻¹), restructured as
+
+        ĥ = U · (λ/(λ + 1/snr) ⊙ (Uᴴ·h_LS))
+
+    so the per-(rx, SNR) work is two (C, C) matmuls + a diagonal
+    rescale instead of a dense linear solve.
+
+    Args:
+      h_ls:    (..., C, nsts, R) LS estimate.
+      tau:     (..., ns) path delays (unused when factors given).
+      snr_db:  (..., R) per-antenna sounding SNR in dB.
+      factors: optional precomputed (u, lam) from lmmse_eig_factor —
+               pass these to amortize the factorization across SNR
+               levels / datasets sharing the channel realizations.
+
+    Returns: same shape as h_ls.
+    """
+    if factors is None:
+        factors = lmmse_eig_factor(cfg, tau)
+    u, lam = factors
+    snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)
+    # d[..., c, r] = λ_c / (λ_c + 1/snr_r)
+    d = lam[..., :, None] / (lam[..., :, None] + 1.0 / snr[..., None, :])
+    g = jnp.einsum("...dc,...djr->...cjr", jnp.conj(u),
+                   h_ls.astype(u.dtype))
+    g = g * d[..., :, None, :].astype(u.dtype)
+    return jnp.einsum("...cd,...djr->...cjr", u, g)
+
+
 def lmmse_weight(cfg: SimConfig, tau, snr_db):
     """Per-(packet, rx-antenna) LMMSE smoothing matrix M = Rhp · Rpp⁻¹.
 
@@ -250,25 +329,9 @@ def lmmse_weight(cfg: SimConfig, tau, snr_db):
     Returns:
       (..., num_carriers, num_carriers) complex M.
     """
-    tau = jnp.asarray(tau)
-    ns = tau.shape[-1]
-    k = jnp.arange(ns, dtype=tau.dtype)
-    w = tau * tau                                    # τ_s² (tau is real)
-    hh = jnp.sum(w, axis=-1)
-    tmp = w * k
-    r = jnp.sum(tmp, axis=-1) / hh
-    r2 = jnp.sum(tmp * k, axis=-1) / hh
-    tau_rms = jnp.sqrt(jnp.maximum(r2 - r * r, 0.0))
-
-    n = cfg.num_carriers
-    df = 1.0 / n
-    a = jnp.arange(n)
-    diff = (a[:, None] - a[None, :]).astype(jnp.float32)
-    # rf[a,b] = 1/(1 + j 2π τ_rms df (a−b))
-    jw = 1j * 2.0 * jnp.pi * tau_rms[..., None, None] * df
-    rf = 1.0 / (1.0 + jw * diff)
+    rf = lmmse_rf(cfg, tau)
     snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)
-    eye = jnp.eye(n, dtype=rf.dtype)
+    eye = jnp.eye(cfg.num_carriers, dtype=rf.dtype)
     rpp = rf + eye / snr[..., None, None]
     # M = Rhp · Rpp⁻¹  computed as  solve(Rppᵀ, Rhpᵀ)ᵀ
     m = jnp.linalg.solve(

@@ -9,6 +9,9 @@ from mamimo_tpu.ops.pallas.fused_ls import (  # noqa: F401
     ls_estimate_pallas,
     ls_planes_pallas,
     ls_planes_pallas_constants,
+    ls_planes_pallas_v2,
+    ls_planes_pallas_v2_constants,
+    ls_v2_to_complex,
 )
 from mamimo_tpu.ops.pallas.fused_factored import (  # noqa: F401
     fused_factored_planes,

@@ -280,6 +280,162 @@ def ls_planes_pallas(cfg: SimConfig, planes, consts=None, *,
     return jax.lax.complex(hr, hi)
 
 
+# ----------------------------------------------------------------------
+# v2 flat-planes LS kernel: merged complex dots + fused batch reduction
+# ----------------------------------------------------------------------
+
+def ls_planes_pallas_v2_constants(cfg: SimConfig, block_samples: int = 8,
+                                  dtype=None):
+    """Kernel constants for ls_planes_pallas_v2: (B, K) with
+
+    * B = [At_r | At_i] — the two DFT planes CONCATENATED along lanes,
+      (sym_len, 2·Cp): the complex DFT-select becomes 2 MXU dots (one
+      per input plane) instead of 4 — each twice as wide (N = 512),
+      which pipelines better on the 128×128 systolic array than four
+      N = 256 dots;
+    * K = I_{block_samples} ⊗ P as in ls_planes_pallas_constants; the
+      v2 despread multiplies the CONCATENATED (R, 2·Cp) z planes by one
+      (R, R) K dot (both planes share P), halving despread dispatches.
+    """
+    import numpy as np
+
+    from mamimo_tpu.ops.estimate import dft_selected_padded_np
+
+    at = dft_selected_padded_np(cfg).T                 # (sym_len, C)
+    cp_ = _round_up(cfg.num_carriers, 128)
+    b = np.zeros((cfg.sym_len, 2 * cp_), np.float32)
+    b[:, :cfg.num_carriers] = np.real(at)
+    b[:, cp_:cp_ + cfg.num_carriers] = np.imag(at)
+    k = np.kron(np.eye(block_samples, dtype=np.float32),
+                _hadamard_np(cfg.num_tx).astype(np.float32))
+    dt = dtype or jnp.float32
+    return jnp.asarray(b, dt), jnp.asarray(k, dt)
+
+
+def _planes_kernel_v2(x_ref, b_ref, k_ref, h_ref, ssq_ref, *, cp: int,
+                      with_ssq: bool, n_sub: int):
+    b = b_ref[:]                                  # (sym_len, 2Cp)
+    # complex DFT-select in 2 wide dots: t = x_plane @ [Ar | Ai]
+    tr = jnp.dot(x_ref[0], b, preferred_element_type=jnp.float32)
+    ti = jnp.dot(x_ref[1], b, preferred_element_type=jnp.float32)
+    # t* columns are [x@Ar | x@Ai]; recombine into z = [zr | zi]
+    zr = tr[:, :cp] - ti[:, cp:]                  # (R, Cp)
+    zi = tr[:, cp:] + ti[:, :cp]
+    z = jnp.concatenate([zr, zi], axis=1)         # (R, 2Cp) f32
+    # block-diagonal despread, both planes in ONE (r, r)·(r, 2Cp) dot
+    # per sub-block: K = I⊗P wastes MACs quadratically in its size, so
+    # the despread granularity is decoupled from the (larger) DMA block
+    # that amortizes per-grid-step overheads
+    k = k_ref[:]
+    r = k.shape[0]
+    ssq = None
+    for i in range(n_sub):
+        zi_sub = z[i * r:(i + 1) * r].astype(k.dtype)
+        h = jnp.dot(k, zi_sub, preferred_element_type=jnp.float32)
+        h_ref[i * r:(i + 1) * r] = h.astype(h_ref.dtype)
+        if with_ssq:
+            s = jnp.sum(h * h, axis=0, keepdims=True)
+            ssq = s if ssq is None else ssq + s
+    if with_ssq:
+        # fused benchmark reduction: per-block partial Σh² — the bench
+        # scalar then reads n_blocks·2Cp floats instead of re-reading
+        # the full (rows, 2Cp) output from HBM (see bench._abs_sum).
+        # Broadcast over the 8-sublane tile; consumers divide by 8.
+        ssq_ref[0] = jnp.broadcast_to(ssq, (8, 2 * cp))
+
+
+def ls_planes_pallas_v2(cfg: SimConfig, planes, consts=None, *,
+                        block_samples: int = 8, dma_samples: int | None = None,
+                        interpret: bool | None = None,
+                        with_ssq: bool = False, out_dtype=None):
+    """v2 of ls_planes_pallas: identical math, restructured for the MXU.
+
+    Differences vs ls_planes_pallas (measured on-chip, PERF.md round 3):
+
+    * 3 MXU dots per block instead of 6 — the DFT planes are concatenated
+      along lanes (N = 2·Cp = 512) and the despread handles both planes
+      in one dot; fewer, wider dots keep the systolic array full;
+    * single fused (rows, 2·Cp) output ([.. :Cp] = real, [.. Cp:] =
+      imag) — one HBM stream instead of two;
+    * the DMA block (`dma_samples`, default 4× block_samples) is larger
+      than the despread block so per-grid-step overheads amortize while
+      the I⊗P despread keeps its optimal small size;
+    * optional fused Σh² per block (`with_ssq`) so a timing/serving
+      harness never re-reads the estimate tensor from HBM.
+
+    Returns (h, ssq) with h (rows, 2·Cp) — rows = S·num_tx padded to the
+    DMA block — and ssq (n_blocks, 8, 2·Cp) broadcast partial sums
+    summing to 8·Σh² (None unless with_ssq). Densify with
+    ls_v2_to_complex or slice per plane.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, s, L = planes.shape
+    nsym = cfg.num_tx
+    if consts is None:
+        consts = ls_planes_pallas_v2_constants(cfg, block_samples,
+                                               dtype=planes.dtype)
+    b, k = consts
+    cp_ = b.shape[1] // 2
+    r = block_samples * nsym
+    assert k.shape == (r, r)
+    if dma_samples is None:
+        dma_samples = 4 * block_samples
+    n_sub = max(dma_samples // block_samples, 1)
+    dma_samples = n_sub * block_samples
+    rd = dma_samples * nsym                       # rows per DMA block
+
+    sp = _round_up(s, dma_samples)
+    x = planes.reshape(2, s * nsym, cfg.sym_len)
+    if sp != s:
+        x = jnp.zeros((2, sp * nsym, cfg.sym_len), x.dtype
+                      ).at[:, : s * nsym].set(x)
+    rows = sp * nsym
+    n_blocks = rows // rd
+
+    blk = lambda i: (0, i, 0)                     # noqa: E731
+    const = lambda i: (0, 0)                      # noqa: E731
+    out_shape = [jax.ShapeDtypeStruct((rows, 2 * cp_),
+                                      out_dtype or jnp.float32)]
+    out_specs = [pl.BlockSpec((rd, 2 * cp_), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_ssq:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_blocks, 8, 2 * cp_), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, 2 * cp_),
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        kern = functools.partial(_planes_kernel_v2, cp=cp_,
+                                 with_ssq=True, n_sub=n_sub)
+    else:
+        def kern(x, b, k, h):
+            _planes_kernel_v2(x, b, k, h, None, cp=cp_, with_ssq=False,
+                              n_sub=n_sub)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((2, rd, cfg.sym_len), blk,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, r), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, b, k)
+    if with_ssq:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def ls_v2_to_complex(cfg: SimConfig, h, s: int):
+    """Densify ls_planes_pallas_v2 output to (S, num_tx, num_carriers)
+    complex64 rx-major."""
+    cp_ = h.shape[1] // 2
+    return ls_raw_to_complex(cfg, h[:, :cp_], h[:, cp_:], s)
+
+
 def ls_raw_to_complex(cfg: SimConfig, hr, hi, s: int):
     """Densify ls_planes_pallas(raw=True) output to the standard
     (S, num_tx, num_carriers) complex64 rx-major form."""

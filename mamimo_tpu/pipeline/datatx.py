@@ -105,8 +105,10 @@ def run_data_transmission(
         from mamimo_tpu.ops.coding import qam_mod
 
         syms = qam_mod(coded, cfg.mod_order)
-    grid = syms.reshape(cfg.num_data_symbols, cfg.num_carriers, ns)
-    grid = jnp.moveaxis(grid, 0, 1)                    # (C, nsym, ns)
+    # layer mapping is column-major (carrier fastest, stream slowest):
+    # reshape(mappedSym, numCarriers, numDataSymbols, numSTS) at :479-480
+    grid = syms.reshape(ns, cfg.num_data_symbols, cfg.num_carriers)
+    grid = jnp.transpose(grid, (2, 1, 0))              # (C, nsym, ns)
 
     # per-carrier precoding with Frobenius-normalized v (:485-492)
     fro = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=(1, 2), keepdims=True))
@@ -172,9 +174,16 @@ def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
     h_own = jax.lax.dynamic_slice_in_dim(h_eff, own_start, n_own, axis=1)
     rx_eq, csi_w = mimo_equalize(rx_grid[:, n_pre_sym:, :], h_own)
 
-    # flatten carrier-fastest (MATLAB rxEq(:) column-major, :590)
+    # flatten carrier-fastest (MATLAB rxEq(:) column-major, :590). The
+    # reference divides by sqrt(numTx) only — exact for its numSTS=1
+    # experiments. The mapped preamble is power-normalized per symbol
+    # (helperGenPreamble's 1/sqrt(numSTS)), so the preamble-LS channel
+    # is G_data/sqrt(numTx·n_pre) (measured: the noiseless equalized
+    # constellation lands at sqrt(n_pre) without this term); the extra
+    # sqrt(n_pre_sym) puts multi-stream/multi-user symbols back on the
+    # unit constellation and is identity for numSTS=1.
     rx_syms = jnp.transpose(rx_eq, (2, 1, 0)).reshape(-1) / math.sqrt(
-        cfg.num_tx
+        cfg.num_tx * n_pre_sym
     )
     if cfg.bits_per_subcarrier == 2:
         llr = qpsk_demod_llr(rx_syms, n_var)           # (2*C*nsym,)
@@ -184,8 +193,13 @@ def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
 
         llr = qam_demod_approx_llr(rx_syms, cfg.mod_order, n_var)
         ref_const = jnp.asarray(_qam_tables(cfg.mod_order)[0])
-    # CSI scaling per subcarrier (:594-598)
-    csi_k = jnp.tile(csi_w[:, 0], cfg.num_data_symbols)   # sym-major, c fast
+    # CSI scaling per (subcarrier, stream) (:594-598): the symbol order
+    # is stream-major / carrier-fastest (rxEq(:) column-major), so the
+    # per-stream CSI column broadcasts over the data symbols
+    n_own = csi_w.shape[1]
+    csi_k = jnp.broadcast_to(
+        csi_w.T[:, None, :],
+        (n_own, cfg.num_data_symbols, cfg.num_carriers)).reshape(-1)
     llr = (llr.reshape(-1, cfg.bits_per_subcarrier)
            * csi_k[:, None]).reshape(-1)
 
@@ -249,8 +263,10 @@ def run_data_transmission_mu(
             from mamimo_tpu.ops.coding import qam_mod
 
             syms = qam_mod(coded, cfg.mod_order)
-        gu = jnp.moveaxis(
-            syms.reshape(cfg.num_data_symbols, cfg.num_carriers, ns), 0, 1)
+        # column-major layer mapping (carrier fastest), :479-480
+        gu = jnp.transpose(
+            syms.reshape(ns, cfg.num_data_symbols, cfg.num_carriers),
+            (2, 1, 0))
         grid = grid.at[:, :, u * ns:(u + 1) * ns].set(gu)
 
     fro = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=(1, 2), keepdims=True))

@@ -18,6 +18,7 @@ Replaces the Keras fit of ``massiveMIMO_CSI_prediction_DNN.py:283-328``:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -213,7 +214,11 @@ def make_array_train_step(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow,
     """Train/eval steps taking materialized (x2, pilot, y2) batches —
     the host-streaming path fed by the native C++ loader."""
     update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt)
-    return jax.jit(update), jax.jit(eval_core)
+    # donate params/bn/opt_state: the step overwrites them in place
+    # instead of double-buffering ~3 weight-sized arrays per call (the
+    # sharded path already donates, parallel/sharded.py)
+    return (jax.jit(update, donate_argnums=(0, 1, 2)),
+            jax.jit(eval_core))
 
 
 def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
@@ -223,12 +228,14 @@ def make_train_step(cfg: SimConfig, tcfg: TrainConfig, data, avg_sig_pow,
     # constants in the executable (and trips the axon TPU backend).
     update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt)
 
-    @jax.jit
+    # params/bn/opt_state are donated (in-place update, no
+    # double-buffering); `data` is NOT — it is reused every call
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def _train_step(data, params, bn_state, opt_state, idx, key, lr):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
         return update(params, bn_state, opt_state, x2, pilot, y2, key, lr)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def _train_multi(data, params, bn_state, opt_state, idx2, keys, lr):
         """lax.scan over steps_per_call optimizer steps — one dispatch
         amortizes the per-call RPC latency of remote runtimes."""

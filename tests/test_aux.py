@@ -58,6 +58,43 @@ def test_ura_scenario_pipeline():
     assert np.all(np.isfinite(ds.h_ls.view(np.float32)))
 
 
+def test_helper_array_info_dispatch():
+    """helperArrayInfo parity (generate_maMIMO_LTF.m:123-136): ULA for
+    single-stream, URA [n/numSTS × numSTS] when numSTS>1, with the
+    divisibility validation."""
+    from mamimo_tpu.channel.scattering import (
+        helper_array_info,
+        resolve_geometry,
+    )
+
+    # the paper's default (numSTSVec=[1]): ULA both ends
+    tx_ura, exp_tx, rx_ura, exp_rx = helper_array_info(32, 4, 1)
+    assert (tx_ura, rx_ura) == (False, False)
+    assert (exp_tx, exp_rx) == (32, 4)
+    # multi-stream: URA with [expFactor × numSTS] partitioning
+    tx_ura, exp_tx, rx_ura, exp_rx = helper_array_info(32, 4, 2)
+    assert (tx_ura, rx_ura) == (True, True)
+    assert (exp_tx, exp_rx) == (16, 2)
+    with pytest.raises(ValueError):
+        helper_array_info(30, 4, 4)      # numTx not a multiple of numSTS
+    with pytest.raises(ValueError):
+        helper_array_info(32, 1, 2)      # numRx < numSTS
+    assert resolve_geometry("auto", 1) == "ula"
+    assert resolve_geometry("auto", 2) == "ura"
+    assert resolve_geometry("ula", 2) == "ula"    # manual override wins
+
+
+def test_auto_geometry_positions():
+    """'auto' (the config default) derives the URA layout from num_sts
+    without a manual flag."""
+    p_auto = array_positions(8, "auto", 0.5, ncols=2)
+    p_ura = ura_positions(8, 2, 0.5)
+    assert np.allclose(p_auto, p_ura)
+    # single-stream auto = ULA (z stays 0)
+    p1 = array_positions(8, "auto", 0.5, ncols=1)
+    assert np.all(p1[2] == 0)
+
+
 def test_profiling_helpers():
     f = jax.jit(lambda x: x * 2.0)
     stats = time_inference(f, (jnp.ones((8, 8)),), iters=3)

@@ -46,6 +46,33 @@ def test_closed_loop_all_sources(cl_ds):
         assert np.isfinite(s[k]["ber"])
 
 
+def test_closed_loop_multistream_ura():
+    """num_sts=2 end-to-end with the auto-dispatched URA geometry
+    (helperArrayInfo parity: URA [numTx/numSTS × numSTS] when numSTS>1,
+    generate_maMIMO_LTF.m:123-136): two spatial streams precoded,
+    transmitted and decoded through the [4×2]-URA BS array."""
+    from mamimo_tpu.channel.scattering import resolve_geometry
+
+    cfg = SimConfig(num_tx=8, num_rx=4, num_sts=2, n_scatterers=16,
+                    n_rays=64, num_data_symbols=4)
+    assert resolve_geometry(cfg.tx_geometry, cfg.num_sts) == "ura"
+    ds = generate_dataset(cfg, seed=7, num_packets=3, snr_db=15.0,
+                          chunk=3, fft_size=8192)
+    out = evaluate_closed_loop(ds, sources=("perfect", "ls"),
+                               fft_size=16384)
+    m = out["perfect"]
+    assert m.ber.shape == (3,)
+    assert np.all(np.isfinite(m.ber)) and np.all(np.isfinite(m.evm))
+    # perfect CSI at 15 dB sounding SNR decodes the 2-stream frame on
+    # most packets (a weak second eigenchannel on an unlucky scenario
+    # draw is ZF physics, not a chain defect — noiseless BER is 0)
+    assert np.median(m.ber) < 0.01, m.ber
+    assert np.min(m.ber) < 0.005, m.ber
+    assert np.mean(m.bf_gain) > 0.0, m.bf_gain
+    # the corrected constellation scale keeps RMS EVM physical (<100%)
+    assert np.all(m.evm < 100.0), m.evm
+
+
 def test_nmse_vs_snr_ranking():
     ds_hi = generate_dataset(CL_CFG, seed=5, num_packets=4, snr_db=10.0,
                              with_mmse=True, chunk=4, fft_size=8192)

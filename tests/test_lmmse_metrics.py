@@ -4,7 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mamimo_tpu.ops.estimate import lmmse_estimate, lmmse_weight
+from mamimo_tpu.ops.estimate import (
+    lmmse_eig_factor,
+    lmmse_estimate,
+    lmmse_estimate_eig,
+    lmmse_weight,
+)
 from mamimo_tpu.ops.metrics import bit_error_rate, evm_rms, mse_abs, nmse_subk
 
 
@@ -46,6 +51,35 @@ def test_lmmse_matches_oracle(cfg):
         ref = _lmmse_oracle(h_ls[:, j, 0], n, n, 1, tau.astype(np.float64),
                             float(snr_db[0]))
         np.testing.assert_allclose(out[:, j, 0], ref, atol=2e-3)
+
+
+def test_lmmse_eig_matches_solve(cfg):
+    """The eigenbasis form (one eigh per packet, diagonal rescale per
+    rx/SNR) is the same estimator as the dense solve — and the same
+    factorization serves different SNRs (the shared-scenario sweep
+    amortization)."""
+    rng = np.random.default_rng(3)
+    tau = rng.uniform(3e-6, 4e-6, cfg.n_scatterers).astype(np.float32)
+    n = cfg.num_carriers
+    h_ls = (rng.standard_normal((n, 8, 2))
+            + 1j * rng.standard_normal((n, 8, 2))).astype(np.complex64)
+    snr_db = np.asarray([7.0, -5.0], np.float32)
+
+    ref = np.asarray(lmmse_estimate(
+        cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(snr_db)))
+    got = np.asarray(lmmse_estimate_eig(
+        cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(snr_db)))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    # precomputed factors path (what the sweep amortizes across levels)
+    factors = lmmse_eig_factor(cfg, jnp.asarray(tau))
+    got2 = np.asarray(lmmse_estimate_eig(
+        cfg, jnp.asarray(h_ls), snr_db=jnp.asarray(snr_db + 10.0),
+        factors=factors))
+    ref2 = np.asarray(lmmse_estimate(
+        cfg, jnp.asarray(h_ls), jnp.asarray(tau),
+        jnp.asarray(snr_db + 10.0)))
+    np.testing.assert_allclose(got2, ref2, atol=2e-3)
 
 
 def test_lmmse_high_snr_identity(cfg):
