@@ -191,15 +191,18 @@ def _chained_step_invariant(core, extra, perturb, unroll: int = 1):
             out = core(*perturb(ex, eps))
             return _abs_sum(out), None
 
-        s, _ = jax.lax.scan(one, jnp.float32(s), None, length=unroll)
+        s, _ = jax.lax.scan(one, s, None, length=unroll)
         return s, s
 
-    return lambda s: _step(extra, s)
+    # pin the seed's aval: a python-float warmup followed by
+    # device-scalar timed calls would otherwise compile TWO executables
+    # and pay the second's load inside the first timed iteration
+    return lambda s: _step(extra, jnp.asarray(s, jnp.float32))
 
 
 def make_estimation_fn_serving_r3(cfg, tcfg, params, bn_state,
                                   unroll: int = 8, block_samples: int = 8,
-                                  dma_samples: int = 32):
+                                  dma_samples: int | None = None):
     """Round-3 serving hot path: LS v2 kernel (merged complex dots,
     decoupled DMA/despread blocks, fused Σh² benchmark reduction) + the
     XLA factored bf16 DNN, timed under the invariant-operand harness.
@@ -216,6 +219,10 @@ def make_estimation_fn_serving_r3(cfg, tcfg, params, bn_state,
     from mamimo_tpu.ops.pallas import ls_planes_pallas_v2_constants
     from mamimo_tpu.ops.pallas.fused_ls import ls_planes_pallas_v2
 
+    if dma_samples is None:
+        # ~1024 rows per DMA block: amortizes per-grid-step overheads
+        # while the block's f32 intermediates stay within VMEM at any Nt
+        dma_samples = max(block_samples, 1024 // cfg.num_tx)
     consts = ls_planes_pallas_v2_constants(cfg, block_samples,
                                            dtype=jnp.bfloat16)
 
@@ -797,8 +804,22 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
     # steady-state: re-time the two best full paths with K chained
     # batches per dispatch (lax.scan inside one program) — amortizes the
     # per-dispatch RPC floor the way a pipelined server does. Headline.
-    unroll = int(os.environ.get("BENCH_UNROLL", "8"))
+    # ×16 amortizes the ~2.8 ms dispatch floor below 2% of the window
+    # (probe_r3c: serving_r3 5.44 ms/iter at ×8 → 5.18 at ×16)
+    unroll = int(os.environ.get("BENCH_UNROLL", "16"))
     steady = {}
+    if on_tpu:
+        # the round-3 production path (LS v2 kernel + invariant-operand
+        # harness) is a steady-state design: measure it there directly
+        try:
+            steady["pallas_ls_v2_serving_r3"] = _time_fn(
+                make_estimation_fn_serving_r3(
+                    cfg, tcfg, params, bn_state,
+                    unroll=unroll)(planes_bf16),
+                1.0, max(iters // 4, 3), per_call=unroll)
+        except Exception as e:                   # pragma: no cover
+            print(f"[bench] pallas_ls_v2_serving_r3 unavailable: {e}",
+                  file=sys.stderr)
     for k in sorted(full_keys, key=lambda k: timings[k]):
         if len(steady) >= 2:
             break

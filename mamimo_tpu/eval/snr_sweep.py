@@ -187,6 +187,8 @@ def run_mu_snr_sweep(
     fft_size: int = 16384,
     chunk: int = 8,
     verbose: bool = True,
+    dnn_models=None,
+    tcfg: Optional[TrainConfig] = None,
 ) -> dict:
     """Multi-user closed-loop sweep (the numUsers>1 branch the CLI now
     reaches, generate_maMIMO_LTF.m:427-440,531-640): per SNR level,
@@ -201,6 +203,16 @@ def run_mu_snr_sweep(
     and closed-loop results become placement-dominated — pick the seed
     (user placement) accordingly (see tests/test_multiuser.py fixture).
 
+    Args (beyond the single-user sweep):
+      dnn_models: per-user DNN CSI source (the reference evaluates the
+        DNN inside the full beamforming loop, BER_test_maMIMO_LTF.m:347;
+        its generator trains per-user models on per-user channels,
+        generate_maMIMO_LTF.m:427-440): stacked (params, bn_state)
+        pytrees whose leaves carry a LEADING user axis (one trained
+        model per user, trained on generate_dataset(user=u)). Required
+        when 'dnn' ∈ sources.
+      tcfg: the TrainConfig the models were trained with.
+
     Returns a JSON-ready dict
       {"snr": [...], "num_users": U,
        "sources": {src: {"ber": [[per-user]...], "evm": ..,
@@ -214,16 +226,27 @@ def run_mu_snr_sweep(
 
     assert cfg.num_users > 1, "run_mu_snr_sweep needs num_users > 1"
     srcs = tuple(sources)
+    if "dnn" in srcs and dnn_models is None:
+        raise ValueError("'dnn' source needs dnn_models=(params, bn) "
+                         "with a leading per-user axis")
     base = jax.random.PRNGKey(seed)
     scens = make_scenarios(cfg, base)
     with_mmse = "lmmse" in srcs
 
-    def one_packet(k, snr):
+    def one_packet(k, snr, models):
         res, chans = sound_packet_mu(cfg, k, scens, snr_db=snr,
                                      with_mmse=with_mmse,
                                      fft_size=fft_size)
         pools = {"ls": res.h_ls, "perfect": res.h_perfect,
                  "lmmse": res.h_mmse}
+        if "dnn" in srcs:
+            from mamimo_tpu.models.mlp import predict_all_pairs
+
+            mp, mb = models
+            pools["dnn"] = jax.vmap(
+                lambda p, b, rx: predict_all_pairs(
+                    cfg, tcfg or TrainConfig(), p, b, rx[None])[0]
+            )(mp, mb, res.rx)                  # (U, C, Nt, Nr)
         return {
             s: run_data_transmission_mu(
                 cfg, jax.random.fold_in(k, 77), scens, chans, pools[s],
@@ -231,7 +254,7 @@ def run_mu_snr_sweep(
             for s in srcs
         }
 
-    run_chunk = jax.jit(jax.vmap(one_packet, in_axes=(0, None)))
+    run_chunk = jax.jit(jax.vmap(one_packet, in_axes=(0, None, None)))
 
     out = {"snr": list(map(float, snr_levels)),
            "num_users": cfg.num_users,
@@ -244,7 +267,7 @@ def run_mu_snr_sweep(
             keys = jax.vmap(
                 lambda p: jax.random.fold_in(base, 10_000 + p)
             )(jnp.arange(start, start + n))
-            r = run_chunk(keys, float(snr))
+            r = run_chunk(keys, float(snr), dnn_models)
             for s in srcs:
                 accum[s]["ber"].append(np.asarray(r[s].ber))   # (n, U)
                 accum[s]["evm"].append(np.asarray(r[s].evm))

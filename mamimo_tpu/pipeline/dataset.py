@@ -205,6 +205,7 @@ def generate_dataset(
     scenario: Scenario | None = None,
     user: int = 0,
     with_ber: bool = False,
+    interference_dbm: float = -55.0,
 ) -> CSIDataset:
     """Generate a sounding dataset on device.
 
@@ -248,6 +249,7 @@ def generate_dataset(
         res, chan = sound_packet(
             cfg, k_chan, scen, snr_db, preamble=pre, with_mmse=with_mmse,
             noise_mode=noise_mode, fft_size=fft_size,
+            interference_dbm=interference_dbm,
         )
         if with_ber:
             from mamimo_tpu.config import default_fft_size

@@ -73,6 +73,8 @@ def sound_packet(
     with_mmse: bool = False,
     noise_mode: str = "snr",
     fft_size: int | None = None,
+    interference_dbm: float = -55.0,
+    noise_floor_dbm: float = -85.0,
 ) -> tuple[SoundingResult, ChannelRealization]:
     """Simulate one sounding packet.
 
@@ -85,6 +87,10 @@ def sound_packet(
         (len_ltf, num_tx) — static across packets.
       noise_mode: 'snr' (generate_maMIMO_LTF.m) or 'sinr'
         (generate_maMIMO_LTF_SINR.m fixed noise + interference).
+      interference_dbm / noise_floor_dbm: 'sinr'-mode powers (the
+        reference hard-codes −55/−85 dBm,
+        generate_maMIMO_LTF_SINR.m:225-251; exposed here so an
+        interference sweep is one parameter away).
     """
     if fft_size is None:
         from mamimo_tpu.config import default_fft_size
@@ -104,7 +110,9 @@ def sound_packet(
         )
     elif noise_mode == "sinr":
         rx, snr_cs, noise_db = interference_chain(
-            cfg, k_noise, faded, chan.chan_delay
+            cfg, k_noise, faded, chan.chan_delay,
+            noise_power_dbm=noise_floor_dbm,
+            interference_power_dbm=interference_dbm,
         )
     elif noise_mode == "nf":
         rx, snr_cs, noise_db = receiver_chain_nf(

@@ -149,3 +149,32 @@ def test_mu_snr_sweep_smoke():
         assert len(d["ber"]) == 1 and len(d["ber"][0]) == 2
         assert len(d["ber_ci"][0]) == 2
         assert all(np.isfinite(v) for v in d["evm"][0])
+
+
+def test_mu_snr_sweep_dnn_source():
+    """'dnn' as a CSI source in the multi-user loop (the reference's
+    BER_test_maMIMO_LTF.m:347 DNN leg inside the numUsers>1 branch):
+    per-user stacked models feed jsdm_transmit_weights through
+    predict_all_pairs. Untrained nets here — the test pins the plumbing
+    (shapes, finiteness, per-user model dispatch), not accuracy."""
+    from mamimo_tpu.config import TrainConfig
+    from mamimo_tpu.eval.snr_sweep import run_mu_snr_sweep
+    from mamimo_tpu.models.mlp import init_stacked
+
+    tcfg = TrainConfig(hidden=(32, 32))
+    keys = jax.random.split(jax.random.PRNGKey(0), MU.num_users)
+    per_user = [init_stacked(k, MU, tcfg) for k in keys]
+    models = (
+        jax.tree.map(lambda *l: jnp.stack(l), *[p for p, _ in per_user]),
+        jax.tree.map(lambda *l: jnp.stack(l), *[b for _, b in per_user]),
+    )
+    out = run_mu_snr_sweep(MU, snr_levels=[10.0], num_packets=2,
+                           seed=8, sources=("dnn", "perfect"),
+                           fft_size=16384, chunk=2, verbose=False,
+                           dnn_models=models, tcfg=tcfg)
+    d = out["sources"]["dnn"]
+    assert len(d["ber"]) == 1 and len(d["ber"][0]) == 2
+    assert all(np.isfinite(v) for v in d["ber"][0] + d["evm"][0])
+    # untrained CSI precodes garbage: perfect must beat it
+    assert (np.mean(out["sources"]["perfect"]["ber"][0])
+            <= np.mean(d["ber"][0]) + 1e-9)

@@ -54,15 +54,17 @@ def test_only_real_freezes_imag_bn(small_cfg):
     pil = jnp.asarray(rng.standard_normal((8, cfg.num_tx)), jnp.float32)
     y2 = jnp.asarray(rng.standard_normal((2, 8, cfg.num_carriers)),
                      jnp.float32)
+    # the step donates params/bn/opt_state — snapshot to host first
+    bn_before = [np.asarray(l) for l in jax.tree.leaves(bn)]
+    params_before = [np.asarray(l) for l in jax.tree.leaves(params)]
     p1, bn1, _, _ = step(params, bn, opt.init(params), x2, pil, y2,
                          jax.random.PRNGKey(1), 1e-3)
-    for leaf0, leaf1 in zip(jax.tree.leaves(bn), jax.tree.leaves(bn1)):
-        a0, a1 = np.asarray(leaf0), np.asarray(leaf1)
+    for a0, leaf1 in zip(bn_before, jax.tree.leaves(bn1)):
+        a1 = np.asarray(leaf1)
         np.testing.assert_array_equal(a0[1], a1[1])       # imag frozen
         assert not np.allclose(a0[0], a1[0])              # real adapted
-    for leaf0, leaf1 in zip(jax.tree.leaves(params), jax.tree.leaves(p1)):
-        np.testing.assert_array_equal(np.asarray(leaf0)[1],
-                                      np.asarray(leaf1)[1])
+    for a0, leaf1 in zip(params_before, jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(a0[1], np.asarray(leaf1)[1])
 
 
 def test_split_indices_never_empty_val(small_cfg):
