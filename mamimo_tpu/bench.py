@@ -512,7 +512,7 @@ def _time_fn(step, arg, iters, per_call: int = 1):
     return (time.perf_counter() - t0) / (iters * per_call)
 
 
-def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 8,
+def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
                     calls: int = 10, num_packets: int = 64,
                     repo_root: str | None = None,
                     print_result: bool = True) -> dict:
@@ -592,9 +592,14 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 8,
             params, bn_state, opt_state, loss = step.multi(
                 params, bn_state, opt_state, idx, keys, tcfg.lr)
             float(loss[0])
+            # pre-generate all call args OUTSIDE the timed window: on
+            # the tunneled runtime every dispatch costs ~ms of RPC,
+            # comparable to the step itself at these sizes
+            call_args = [mk_args(jax.random.PRNGKey(2 + i))
+                         for i in range(calls)]
+            jax.block_until_ready(call_args)
             t0 = time.perf_counter()
-            for i in range(calls):
-                idx, keys = mk_args(jax.random.PRNGKey(2 + i))
+            for idx, keys in call_args:
                 params, bn_state, opt_state, loss = step.multi(
                     params, bn_state, opt_state, idx, keys, tcfg.lr)
             float(loss[0])                      # true barrier

@@ -153,4 +153,9 @@ def interference_chain(
         + _cn(ki, 10.0 ** (intf_db / 10.0))
     )
     y = y * (math.sqrt(cfg.used_sc) / cfg.fft_length)
-    return sync_slice(cfg, y, chan_delay), sinr_db, noise_db
+    # report the SUMMED noise+interference power: two independent white
+    # Gaussian draws are one draw at the summed variance, and this is
+    # the level every downstream consumer (LMMSE weights, the data-leg
+    # receiver) must reuse — the reference's data leg likewise applies
+    # baseNoise AND interference (generate_maMIMO_LTF_SINR.m:457,484-491)
+    return sync_slice(cfg, y, chan_delay), sinr_db, denom_db

@@ -108,9 +108,13 @@ def evaluate_closed_loop(
         )
 
         def one_source(csi):
+            # SINR-mode datasets were sounded at preamp gain 0; the
+            # data leg must follow the same convention (ds.noise_db is
+            # the absolute noise+interference floor, not spLoss-scaled)
+            gain = 0.0 if ds.noise_mode == "sinr" else None
             return run_data_transmission(
                 cfg, eval_key, ds.scenario, chan, csi, noise_db, snr_cs,
-                fft_size=fft_size,
+                fft_size=fft_size, gain_db=gain,
             )
 
         return jax.vmap(one_source)(csi_srcs)

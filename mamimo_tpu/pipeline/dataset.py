@@ -51,6 +51,10 @@ class CSIDataset:
                                           # (usr_data{u,5}, the
                                           # isOnlyCSI=false leg)
     user: int = 0                         # which user (multi-user gen)
+    noise_mode: str = "snr"               # receiver convention used at
+                                          # generation (the SINR mode's
+                                          # gain-0 preamp must carry
+                                          # into the data-leg evaluator)
 
     # ------------------------------------------------------------------
     @property
@@ -154,7 +158,8 @@ class CSIDataset:
                     {"cfg": json.loads(self.cfg.to_json()),
                      "snr_target": self.snr_target,
                      "seed": self.seed,
-                     "user": self.user}
+                     "user": self.user,
+                     "noise_mode": self.noise_mode}
                 ).encode(), dtype=np.uint8),
             **scen,
         )
@@ -190,6 +195,7 @@ class CSIDataset:
             scenario=scen,
             h_mmse=h_mmse,
             user=int(meta.get("user", 0)),
+            noise_mode=meta.get("noise_mode", "snr"),
         )
 
 
@@ -304,4 +310,5 @@ def generate_dataset(
         scenario=scen,
         ber=np.concatenate(bers) if with_ber else None,
         user=user,
+        noise_mode=noise_mode,
     )

@@ -70,6 +70,7 @@ def run_data_transmission(
     noise_db,
     snr_cs,
     fft_size: int | None = None,
+    gain_db=None,
 ) -> DataTxResult:
     """One packet's closed-loop data transmission with a given CSI source.
 
@@ -80,6 +81,10 @@ def run_data_transmission(
       noise_db: scalar noise power from the sounding stage (the evaluator
         reuses it, BER_test_maMIMO_LTF.m:254-257,502).
       snr_cs: (num_rx,) sounding SNR for the beamforming-gain metric.
+      gain_db: receiver preamp gain override. Default (None) is the
+        snr-mode convention, spLoss. SINR-mode datasets pass 0.0 — the
+        reference's SINR data leg runs the preamp at gain 0
+        (generate_maMIMO_LTF_SINR.m:466,488-491).
     """
     if fft_size is None:
         from mamimo_tpu.config import default_fft_size
@@ -135,7 +140,9 @@ def run_data_transmission(
 
     # --- receiver (:538-640, shared with the multi-user loop) ---
     return _receive_and_decode(
-        cfg, k_noise, faded, gain_db=scen.sp_loss_db, noise_db=noise_db,
+        cfg, k_noise, faded,
+        gain_db=scen.sp_loss_db if gain_db is None else gain_db,
+        noise_db=noise_db,
         chan_delay=chan.chan_delay, n_pre_sym=ns, own_start=0,
         n_own=ns, bits=bits, snr_cs=snr_cs,
     )

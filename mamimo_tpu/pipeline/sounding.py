@@ -125,11 +125,21 @@ def sound_packet(
         cfg, rx, chan.tau, snr_cs, with_mmse=with_mmse
     )
 
-    # "perfect" oracle: same chain with −100 dB noise
-    rx_p, _, _ = receiver_chain(
-        cfg, k_perf, faded, snr_db, gain_db, chan.chan_delay,
-        noise_power_db=-100.0,
-    )
+    # "perfect" oracle: same chain with negligible noise. The gain
+    # convention must match the noisy leg or NMSE compares different
+    # scales: the snr/nf chains amplify by spLoss (preamp), the sinr
+    # chain deliberately does not (gain_dB=0,
+    # generate_maMIMO_LTF_SINR.m:213,253-261) — so its oracle runs at
+    # gain 0 with noise pinned 100 dB below the received signal.
+    if noise_mode == "sinr":
+        rx_p, _, _ = receiver_chain(
+            cfg, k_perf, faded, 100.0, 0.0, chan.chan_delay
+        )
+    else:
+        rx_p, _, _ = receiver_chain(
+            cfg, k_perf, faded, snr_db, gain_db, chan.chan_delay,
+            noise_power_db=-100.0,
+        )
     h_perfect, _ = estimate_from_rx(cfg, rx_p)
 
     res = SoundingResult(

@@ -1,9 +1,14 @@
 """Generic M-QAM and noise-figure receiver tests."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from mamimo_tpu.eval.closed_loop import evaluate_closed_loop
+from mamimo_tpu.ops.metrics import nmse_subk
 
 from mamimo_tpu.config import SimConfig
 from mamimo_tpu.channel.noise import thermal_noise_power
@@ -77,3 +82,51 @@ def test_nf_noise_mode(small_cfg):
     assert np.all(np.isfinite(np.asarray(res.snr_cs)))
     # thermal-floor SNR at hundreds of meters should be finite and low
     assert np.all(np.asarray(res.snr_cs) < 60.0)
+
+
+def test_sinr_mode_scale_contract(small_cfg):
+    """SINR mode runs the receiver at preamp gain 0
+    (generate_maMIMO_LTF_SINR.m:213,253-261) — the perfect oracle must
+    use the SAME convention or NMSE compares different scales (the
+    round-3 sinr_sweep artifact initially read NMSE == 1.0 at every
+    interference level for exactly this reason)."""
+    cfg = small_cfg
+    scen = make_scenario(cfg, jax.random.PRNGKey(4))
+    sinrs, nmses = [], []
+    for intf in (-75.0, -55.0):
+        res, _ = sound_packet(cfg, jax.random.PRNGKey(2), scen,
+                              snr_db=0.0, noise_mode="sinr",
+                              interference_dbm=intf, fft_size=8192)
+        sinr = float(np.mean(np.asarray(res.snr_cs)))
+        nm = 10 * np.log10(float(
+            nmse_subk(res.h_perfect, res.h_ls)))
+        # LS NMSE tracks -SINR (within a couple dB at Nt=8)
+        assert abs(nm - (-sinr)) < 3.0, (intf, sinr, nm)
+        sinrs.append(sinr)
+        nmses.append(nm)
+    assert sinrs[1] < sinrs[0] - 10     # +20 dBm interference bites
+    assert nmses[1] > nmses[0] + 10
+
+
+def test_sinr_closed_loop_gain_convention(small_cfg):
+    """The data-transmission leg of a SINR dataset must run at gain 0
+    too (the reference's ReceiverPreamp in the SINR file,
+    generate_maMIMO_LTF_SINR.m:488-491): with the spLoss gain a ~60 dB
+    amplifier makes every packet noiseless (BER==0 at -20 dB SINR)."""
+    cfg = small_cfg
+    ds = generate_dataset(cfg, seed=6, num_packets=2, snr_db=0.0,
+                          noise_mode="sinr", chunk=2, fft_size=8192,
+                          interference_dbm=-45.0)
+    assert ds.noise_mode == "sinr"
+    # deep in interference (SINR around -20 dB): LS CSI must NOT decode
+    out = evaluate_closed_loop(ds, sources=("ls",), fft_size=16384)
+    assert float(np.mean(out["ls"].ber)) > 0.05
+    # roundtrip keeps the convention
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ds.npz")
+        ds.save(p)
+        from mamimo_tpu.pipeline.dataset import CSIDataset
+
+        assert CSIDataset.load(p).noise_mode == "sinr"
