@@ -42,14 +42,21 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from mamimo_tpu.bench import _chained_step, _time_fn
+    from mamimo_tpu.bench import (
+        _chained_step,
+        _chained_step_invariant,
+        _time_fn,
+    )
     from mamimo_tpu.config import SimConfig, TrainConfig
     from mamimo_tpu.models.mlp import init_stacked, predict_all_pairs
     from mamimo_tpu.ops.estimate import (
         lmmse_estimate,
+        lmmse_estimate_eig,
         ls_estimate_matmul,
         ls_matmul_constants,
     )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
 
     out = {"device": str(jax.devices()[0]), "batch": args.batch,
            "num_rx": args.num_rx, "per_estimate_s": {}}
@@ -82,14 +89,74 @@ def main():
         def dnn_core(p, b, r, cfg=cfg, tcfg=tcfg):
             return predict_all_pairs(cfg, tcfg, p, b, r)
 
+        def dnn_bf16_core(p, b, r, cfg=cfg, tcfg=tcfg):
+            return predict_all_pairs(cfg, tcfg, p, b, r,
+                                     dtype=jnp.bfloat16)
+
+        # round-3 fast LMMSE: eigendecompose Rf once per packet (shared
+        # across rx antennas), diagonal rescale per (antenna, SNR) —
+        # the eigh is INSIDE the timed step (honest single-dataset cost;
+        # sweep reuse across SNR levels only makes it cheaper)
+        def lmmse_eig_core(c, t, s, r, cfg=cfg):
+            h = ls_estimate_matmul(cfg, r, c)
+            return lmmse_estimate_eig(cfg, h, t, s)
+
+        paths = [
+            ("ls", _chained_step(ls_core, (lsc,)), rx, 1),
+            ("lmmse", _chained_step(lmmse_core, (lsc, tau_b, snr)), rx, 1),
+            ("lmmse_eig", _chained_step(lmmse_eig_core, (lsc, tau_b, snr)),
+             rx, 1),
+            ("dnn", _chained_step(dnn_core, (params, bn)), rx, 1),
+            ("dnn_bf16", _chained_step(dnn_bf16_core, (params, bn)), rx, 1),
+        ]
+        if on_tpu:
+            # the round-3 production LS: v2 Pallas kernel on flat bf16
+            # planes under the invariant-operand harness (bench.py)
+            from mamimo_tpu.ops.pallas import (
+                ls_planes_pallas_v2_constants,
+            )
+            from mamimo_tpu.ops.pallas.fused_ls import ls_planes_pallas_v2
+
+            block = 8
+            dma = max(block, 1024 // nt)
+            consts = ls_planes_pallas_v2_constants(cfg, block,
+                                                   dtype=jnp.bfloat16)
+
+            @jax.jit
+            def _mk_planes(r, cfg=cfg):
+                pl = jnp.stack([jnp.real(r), jnp.imag(r)])
+                s_ = pl.shape[1] * pl.shape[3]
+                return jnp.transpose(pl, (0, 1, 3, 2)).reshape(
+                    2, s_, cfg.len_ltf).astype(jnp.bfloat16)
+
+            planes = _mk_planes(rx)
+
+            def ls_v2_core(c, pl, cfg=cfg):
+                _, ssq = ls_planes_pallas_v2(
+                    cfg, pl, c, block_samples=block, dma_samples=dma,
+                    with_ssq=True, out_dtype=jnp.bfloat16)
+                return ssq
+
+            def ls_v2_perturb(ex, eps):
+                (b, k), pl = ex
+                return (b * (1.0 + eps).astype(b.dtype), k), pl
+
+            unroll = 8
+            paths.append(
+                ("ls_v2",
+                 _chained_step_invariant(ls_v2_core, (consts, planes),
+                                         ls_v2_perturb, unroll=unroll),
+                 1.0, unroll))
+
         res = {}
-        for name, step in [
-            ("ls", _chained_step(ls_core, (lsc,))),
-            ("lmmse", _chained_step(lmmse_core, (lsc, tau_b, snr))),
-            ("dnn", _chained_step(dnn_core, (params, bn))),
-        ]:
+        for name, step, arg, per_call in paths:
             t0 = time.time()
-            dt = _time_fn(step, rx, args.iters)
+            try:
+                dt = _time_fn(step, arg, args.iters, per_call=per_call)
+            except Exception as e:
+                print(f"[timing] Nt={nt} {name} unavailable: {e}",
+                      flush=True)
+                continue
             res[name] = dt / n_est
             print(f"[timing] Nt={nt} {name}: {dt/n_est:.3e} s/estimate "
                   f"({dt*1e3:.2f} ms/call, setup {time.time()-t0:.0f}s)",
