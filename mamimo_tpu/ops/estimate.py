@@ -376,3 +376,38 @@ def lmmse_estimate(cfg: SimConfig, h_ls, tau, snr_db):
     # M: (..., R, C, C); apply to h_ls columns per rx antenna.
     m = lmmse_weight(cfg, tau[..., None, :], snr_db)     # (..., R, C, C)
     return jnp.einsum("...rcd,...djr->...cjr", m, h_ls.astype(m.dtype))
+
+
+def lmmse_estimate_direct(cfg: SimConfig, h_ls, tau, snr_db):
+    """LMMSE estimate without materializing the smoothing matrix —
+    the round-3 fast form (identical math to lmmse_estimate):
+
+        ĥ = M·h = Rhp·Rpp⁻¹·h = Rf · solve(Rpp, h)
+
+    The dense form (lmmse_weight, faithful to LMMSE_ce.m:37-39) LU-
+    solves Rppᵀ·Mᵀ = Rfᵀ — a C-RHS solve (234 right-hand sides) — to
+    build the full (C, C) matrix M, then uses it once per antenna. Here
+    the solve carries only the num_sts actual right-hand sides
+    (Rpp⁻¹·h) and Rf is applied as one matvec: the O(C³) triangular
+    back-substitution over C RHS (≈ 2.6·C³ flops of the dense form's
+    ≈ 3.3·C³) collapses to O(num_sts·C²), leaving just the LU
+    factorization (≈ 0.7·C³) — ~5× fewer FLOPs, exactly associativity.
+    Also skips the (..., R, C, C) M materialization (~7 MB/packet at
+    BS32), so no chunked variant is needed.
+
+    Eig/eigh restructurings were measured and REJECTED on TPU: the
+    jnp.linalg.eigh lowering ran 10× slower than the dense LU at every
+    Nt (results/timing_nt_sweep.json round-3 refresh).
+
+    Args/shape contract: identical to lmmse_estimate.
+    """
+    rf = lmmse_rf(cfg, tau[..., None, :])                # (..., 1, C, C)
+    snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)            # (..., R)
+    eye = jnp.eye(cfg.num_carriers, dtype=rf.dtype)
+    rpp = rf + eye / snr[..., None, None]                # (..., R, C, C)
+    # rhs: (..., R, C, nsts) — per-antenna LS columns
+    rhs = jnp.moveaxis(h_ls.astype(rf.dtype), -1, -3)
+    x = jnp.linalg.solve(rpp, jnp.swapaxes(rhs, -1, -2)
+                         .swapaxes(-1, -2))              # (..., R, C, s)
+    y = rf @ x                                           # (..., R, C, s)
+    return jnp.moveaxis(y, -3, -1).astype(jnp.complex64)

@@ -26,7 +26,7 @@ from mamimo_tpu.channel.scattering import (
     apply_channel_model,
     realize_channel,
 )
-from mamimo_tpu.ops.estimate import lmmse_estimate, ls_estimate
+from mamimo_tpu.ops.estimate import lmmse_estimate_direct, ls_estimate
 from mamimo_tpu.ops.ltf import gen_preamble
 from mamimo_tpu.ops.ofdm import ofdm_demodulate
 
@@ -58,7 +58,10 @@ def estimate_from_rx(cfg: SimConfig, rx, tau=None, snr_db=None,
     grid, _ = ofdm_demodulate(cfg, rx, nsym=cfg.num_tx)
     h_ls = ls_estimate(cfg, grid, cfg.num_tx)
     if with_mmse:
-        h_mmse = lmmse_estimate(cfg, h_ls, tau, snr_db)
+        # direct form: solve carries only the real RHS columns instead
+        # of building the dense (C, C) smoothing matrix — ~5× fewer
+        # FLOPs, same math (ops/estimate.py::lmmse_estimate_direct)
+        h_mmse = lmmse_estimate_direct(cfg, h_ls, tau, snr_db)
     else:
         h_mmse = jnp.zeros_like(h_ls)
     return h_ls, h_mmse

@@ -51,6 +51,7 @@ def main():
     from mamimo_tpu.models.mlp import init_stacked, predict_all_pairs
     from mamimo_tpu.ops.estimate import (
         lmmse_estimate,
+        lmmse_estimate_direct,
         lmmse_estimate_eig,
         ls_estimate_matmul,
         ls_matmul_constants,
@@ -101,11 +102,19 @@ def main():
             h = ls_estimate_matmul(cfg, r, c)
             return lmmse_estimate_eig(cfg, h, t, s)
 
+        # round-3 production LMMSE: solve on the actual RHS columns +
+        # Rf matvec — no dense M materialization
+        def lmmse_direct_core(c, t, s, r, cfg=cfg):
+            h = ls_estimate_matmul(cfg, r, c)
+            return lmmse_estimate_direct(cfg, h, t, s)
+
         paths = [
             ("ls", _chained_step(ls_core, (lsc,)), rx, 1),
             ("lmmse", _chained_step(lmmse_core, (lsc, tau_b, snr)), rx, 1),
             ("lmmse_eig", _chained_step(lmmse_eig_core, (lsc, tau_b, snr)),
              rx, 1),
+            ("lmmse_direct",
+             _chained_step(lmmse_direct_core, (lsc, tau_b, snr)), rx, 1),
             ("dnn", _chained_step(dnn_core, (params, bn)), rx, 1),
             ("dnn_bf16", _chained_step(dnn_bf16_core, (params, bn)), rx, 1),
         ]
