@@ -90,6 +90,7 @@ def cmd_gen(args) -> None:
     ds = generate_dataset(
         cfg, seed=args.seed, num_packets=args.packets, snr_db=args.snr,
         with_mmse=args.mmse, noise_mode=args.noise_mode, chunk=args.chunk,
+        interference_dbm=args.interference_dbm,
     )
     ds.save(args.out)
     print(f"[gen] wrote {args.out}: {ds.num_packets} packets @ "
@@ -305,6 +306,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mmse", action="store_true")
     g.add_argument("--noise-mode", default="snr",
                    choices=["snr", "sinr", "nf"])
+    g.add_argument("--interference-dbm", type=float, default=-55.0,
+                   help="'sinr'-mode interference power "
+                        "(generate_maMIMO_LTF_SINR.m hard-codes -55)")
     g.add_argument("--chunk", type=int, default=16)
     g.add_argument("-o", "--out", required=True)
     g.set_defaults(fn=cmd_gen)
