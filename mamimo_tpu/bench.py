@@ -572,9 +572,12 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
     data = _mk_data(key)
     n_samples = num_packets * cfg.num_tx * cfg.num_rx
     results = {}
-    for prec in ("f32", "bf16"):
+    for prec in ("f32", "bf16", "f32_rbg"):
         for bs in batch_sizes:
-            tcfg = TrainConfig(batch_size=bs, matmul_dtype=prec,
+            tcfg = TrainConfig(batch_size=bs,
+                               matmul_dtype=prec.split("_")[0],
+                               awgn_rng=("rbg" if prec.endswith("rbg")
+                                         else "threefry"),
                                steps_per_call=steps_per_call)
             params, bn_state = init_stacked(key, cfg, tcfg)
             opt = optax.adam(tcfg.lr)

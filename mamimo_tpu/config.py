@@ -189,6 +189,14 @@ class TrainConfig:
     # stays float32, BN/loss/optimizer stay float32). Gate on the NMSE
     # parity check in PERF.md §Training before enabling for paper runs.
     matmul_dtype: str = "f32"
+    # RNG backend for the per-step AWGN draw: 'threefry' (JAX default,
+    # counter-based, bitwise-stable across backends) or 'rbg' (the
+    # TPU's hardware RngBitGenerator). The AWGN draw is 20.5M normals
+    # per batch-1024 step = 0.86 ms (31%) of the whole train step under
+    # threefry (results/probe_r3d.json); rbg cuts it to ~0. Different
+    # (still deterministic-per-key) random stream — resume contracts
+    # hold within a run; don't flip it mid-experiment.
+    awgn_rng: str = "threefry"
     # optimizer steps fused into one dispatch via lax.scan — amortizes
     # per-call latency on remote/tunneled runtimes (no semantic change)
     steps_per_call: int = 1

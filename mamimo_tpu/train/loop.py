@@ -179,7 +179,16 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
             lev = levels[jax.random.randint(k_snr, (2,), 0, len(levels))]
             npow = avg_sig_pow / (10.0 ** (lev / 10.0))      # (2,)
             std = jnp.sqrt(npow) / jnp.sqrt(2.0)
-            noise = jax.random.normal(k_noise, x2.shape)
+            if tcfg.awgn_rng == "rbg":
+                # hardware RngBitGenerator: the threefry draw of these
+                # 20.5M normals costs 0.86 ms/step at batch 1024 — 31%
+                # of the whole optimizer step (results/probe_r3d.json)
+                kd = jax.random.key_data(k_noise)
+                k_rbg = jax.random.wrap_key_data(
+                    jnp.concatenate([kd, kd]), impl="rbg")
+                noise = jax.random.normal(k_rbg, x2.shape)
+            else:
+                noise = jax.random.normal(k_noise, x2.shape)
             x2 = x2 + noise * std[:, None, None]
         else:
             k_drop = key
