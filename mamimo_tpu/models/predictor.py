@@ -33,6 +33,8 @@ class CSIPredictor:
         self.params = ck["params"]
         self.bn_state = ck["bn_state"]
         self._qparams = None
+        self._serve_fn = None
+        self._serve_consts = None
         if verbose:
             n = sum(int(np.prod(l.shape))
                     for l in jax.tree.leaves(self.params))
@@ -45,8 +47,11 @@ class CSIPredictor:
         matmul shared by every pilot head).
 
         int8=True serves the quantized path (models/quant.py): int8
-        weights folded once on first use, ~2× MXU rate on TPU, <0.05 dB
-        NMSE impact (tests/test_quant.py).
+        weights folded once on first use. NOTE: measured round 3, int8
+        arithmetic is NOT faster than bf16 on this TPU stack (1.0× in
+        an identical Pallas kernel structure, PERF.md) — it remains a
+        weight/activation MEMORY option (<0.05 dB NMSE impact,
+        tests/test_quant.py).
 
         Returns:
           (B, num_rx, num_tx, num_carriers) complex64.
@@ -71,6 +76,79 @@ class CSIPredictor:
             y = predict_all_pairs_planes(
                 self.cfg, self.tcfg, self.params, self.bn_state, x)
         return get_complex(y)
+
+    def estimate_full(self, rx_planes_flat: np.ndarray):
+        """The round-3 PRODUCTION serving call: fused LS + DNN from the
+        canonical FLAT planes layout (2, S, len_ltf), S = B·num_rx —
+        the path `bench.py` measures at 22.7–24.8 M estimates/s/chip
+        (`pallas_ls_v2_serving_r3`).
+
+        On TPU the LS half runs the v2 Pallas kernel
+        (ops/pallas/fused_ls.py::ls_planes_pallas_v2, bf16 in, merged
+        complex dots, decoupled DMA/despread blocks); elsewhere it falls
+        back to the algebraically identical XLA planes form. The DNN
+        half is the factored all-pairs bf16 MLP.
+
+        Returns:
+          (h_ls, h_dnn): each (S, num_tx, num_carriers) complex64.
+        """
+        from mamimo_tpu.models.mlp import _factored_all_pairs
+
+        cfg, tcfg = self.cfg, self.tcfg
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if self._serve_fn is None:
+            nsym, nc = cfg.num_tx, cfg.num_carriers
+            if on_tpu:
+                from mamimo_tpu.ops.pallas import (
+                    ls_planes_pallas_v2_constants,
+                )
+                from mamimo_tpu.ops.pallas.fused_ls import (
+                    ls_planes_pallas_v2,
+                )
+
+                block = 8
+                dma = max(block, 1024 // cfg.num_tx)
+                consts = ls_planes_pallas_v2_constants(
+                    cfg, block, dtype=jnp.bfloat16)
+
+                @jax.jit
+                def serve(p, bn, c, planes):
+                    s = planes.shape[1]
+                    pl16 = planes.astype(jnp.bfloat16)
+                    h, _ = ls_planes_pallas_v2(
+                        cfg, pl16, c, block_samples=block,
+                        dma_samples=dma)
+                    cp_ = h.shape[1] // 2
+                    ls2 = jnp.stack([
+                        h[: s * nsym, :nc].reshape(s, nsym, nc),
+                        h[: s * nsym, cp_:cp_ + nc].reshape(s, nsym, nc),
+                    ]).astype(jnp.float32)
+                    y2 = _factored_all_pairs(cfg, tcfg, p, bn, pl16,
+                                             dtype=jnp.bfloat16)
+                    return ls2, y2.astype(jnp.float32)
+            else:
+                from mamimo_tpu.ops.estimate import (
+                    ls_estimate_planes,
+                    ls_planes_constants,
+                )
+
+                consts = ls_planes_constants(cfg)
+
+                @jax.jit
+                def serve(p, bn, c, planes):
+                    h = ls_estimate_planes(cfg, planes, c)
+                    ls2 = jnp.stack([jnp.real(h), jnp.imag(h)])
+                    y2 = _factored_all_pairs(cfg, tcfg, p, bn, planes)
+                    return ls2, y2
+
+            self._serve_consts = consts
+            self._serve_fn = serve
+        x = jnp.asarray(rx_planes_flat, jnp.float32)
+        ls2, y2 = self._serve_fn(self.params, self.bn_state,
+                                 self._serve_consts, x)
+        to_c = lambda a: (np.asarray(a[0], np.float32)
+                          + 1j * np.asarray(a[1], np.float32))
+        return to_c(ls2), to_c(y2)
 
     def inference(self, input_batch: np.ndarray, pilot: np.ndarray):
         """input_batch: (B, len_ltf) complex; pilot: (B, num_tx).

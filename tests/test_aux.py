@@ -153,6 +153,20 @@ def test_csi_predictor_wrapper(tiny_ds, tmp_path):
                          TINY.num_tx, TINY.num_carriers)
     rel = (np.abs(q8 - f32) ** 2).mean() / (np.abs(f32) ** 2).mean()
     assert 10 * np.log10(rel + 1e-30) < -25.0
+    # full serving call (LS + DNN, the benched production path): LS
+    # must match the reference estimator, DNN must match all_pairs
+    from mamimo_tpu.ops.estimate import ls_estimate_planes
+
+    flat = tiny_ds.rx_planes()                      # (2, S, L)
+    h_ls, h_dnn = pred.estimate_full(flat)
+    s = flat.shape[1]
+    assert h_ls.shape == (s, TINY.num_tx, TINY.num_carriers)
+    assert h_dnn.shape == (s, TINY.num_tx, TINY.num_carriers)
+    ref_ls = np.asarray(ls_estimate_planes(TINY, flat))
+    np.testing.assert_allclose(h_ls, ref_ls, atol=1e-4)
+    # all_pairs returns (B, R, Nt, C); flatten to rx-major S
+    ref_dnn = f32.reshape(s, TINY.num_tx, TINY.num_carriers)
+    np.testing.assert_allclose(h_dnn, ref_dnn, atol=1e-4)
 
 
 def test_bs64_scaled_config():
