@@ -72,15 +72,18 @@ def main():
 
     def tiled(ds, k):
         """Replicate packets k× on host (IO-identical to a k×-larger
-        generated corpus; content does not affect step cost)."""
+        generated corpus; content does not affect step cost). Memory-
+        lean: h_perfect is ALIASED to h_ls (fit never reads it; the
+        first attempt OOM-killed the host at 125 GB with three 11.5 GiB
+        replicas + the 25 GiB raw page cache)."""
         rep = lambda a: (np.concatenate([a] * k, axis=0)
                          if a is not None else None)
+        h_ls = rep(ds.h_ls)
         return dataclasses.replace(
-            ds, rx=rep(ds.rx), h_ls=rep(ds.h_ls),
-            h_perfect=rep(ds.h_perfect), snr_cs=rep(ds.snr_cs),
+            ds, rx=rep(ds.rx), h_ls=h_ls,
+            h_perfect=h_ls, snr_cs=rep(ds.snr_cs),
             noise_db=rep(ds.noise_db), tau=rep(ds.tau),
-            chan_delay=rep(ds.chan_delay), h_mmse=rep(ds.h_mmse),
-            ber=rep(ds.ber))
+            chan_delay=rep(ds.chan_delay), h_mmse=None, ber=None)
 
     big = tiled(seed_ds, args.tile)
     raw_gb = (big.rx.nbytes + big.h_ls.nbytes) / 2**30
@@ -98,6 +101,8 @@ def main():
                   // args.batch)
     log(f"host-stream epoch: {t_stream:.0f}s "
         f"(~{t_stream/max(n_steps,1)*1e3:.2f} ms/step, {n_steps} steps)")
+    big_pkts = big.num_packets
+    del big                     # free ~19 GiB before the in-HBM corpus
 
     # --- in-HBM epoch on a fitting slice, same step shape ---
     small = tiled(seed_ds, max(1, args.inhbm_packets
@@ -113,7 +118,7 @@ def main():
 
     out = {
         "config": f"BS{args.num_tx}", "batch": args.batch,
-        "stream": {"packets": big.num_packets, "raw_gib": round(raw_gb, 2),
+        "stream": {"packets": big_pkts, "raw_gib": round(raw_gb, 2),
                    "epoch_s": round(t_stream, 1), "steps": n_steps,
                    "ms_per_step": round(t_stream / max(n_steps, 1) * 1e3,
                                         3)},
