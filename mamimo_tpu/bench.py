@@ -828,8 +828,11 @@ def run_bench(batch_packets: int = 64, iters: int = 20,
         except Exception as e:                   # pragma: no cover
             print(f"[bench] pallas_ls_v2_serving_r3 unavailable: {e}",
                   file=sys.stderr)
+    # re-time the two best LEGACY full paths (on top of the pre-seeded
+    # serving_r3 entry, which doesn't count against the cap)
+    legacy_cap = 2 + ("pallas_ls_v2_serving_r3" in steady)
     for k in sorted(full_keys, key=lambda k: timings[k]):
-        if len(steady) >= 2:
+        if len(steady) >= legacy_cap:
             break
         arg = planes
         if k == "pallas_factored":

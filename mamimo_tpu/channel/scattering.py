@@ -87,9 +87,11 @@ def helper_array_info(num_tx: int, num_rx: int, num_sts: int,
         if num_tx % num_sts:
             raise ValueError(
                 f"num_tx={num_tx} must be a multiple of num_sts={num_sts}")
-        if num_rx < num_sts:
+        if num_rx % num_sts:
             raise ValueError(
-                f"num_rx={num_rx} must be >= num_sts={num_sts}")
+                f"num_rx={num_rx} must be a multiple of num_sts="
+                f"{num_sts} (the reference partitions the Rx array as "
+                f"[numRx/numSTS x numSTS], generate_maMIMO_LTF.m:145-156)")
     exp_tx = num_tx // num_sts
     exp_rx = num_rx // num_sts
     is_ura = num_sts > 1

@@ -407,7 +407,6 @@ def lmmse_estimate_direct(cfg: SimConfig, h_ls, tau, snr_db):
     rpp = rf + eye / snr[..., None, None]                # (..., R, C, C)
     # rhs: (..., R, C, nsts) — per-antenna LS columns
     rhs = jnp.moveaxis(h_ls.astype(rf.dtype), -1, -3)
-    x = jnp.linalg.solve(rpp, jnp.swapaxes(rhs, -1, -2)
-                         .swapaxes(-1, -2))              # (..., R, C, s)
+    x = jnp.linalg.solve(rpp, rhs)                       # (..., R, C, s)
     y = rf @ x                                           # (..., R, C, s)
     return jnp.moveaxis(y, -3, -1).astype(jnp.complex64)

@@ -268,6 +268,9 @@ def generate_dataset(
             dt = run_data_transmission(
                 cfg, jax.random.fold_in(k, 7777), scen, chan, res.h_ls,
                 res.noise_db, res.snr_cs, fft_size=data_fft,
+                # SINR-mode sounding runs at preamp gain 0 — the data
+                # leg must too (generate_maMIMO_LTF_SINR.m:466,488-491)
+                gain_db=0.0 if noise_mode == "sinr" else None,
             )
             ber = dt.ber
         else:

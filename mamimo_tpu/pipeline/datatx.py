@@ -202,8 +202,8 @@ def _receive_and_decode(cfg: SimConfig, k_noise, faded, *, gain_db,
         ref_const = jnp.asarray(_qam_tables(cfg.mod_order)[0])
     # CSI scaling per (subcarrier, stream) (:594-598): the symbol order
     # is stream-major / carrier-fastest (rxEq(:) column-major), so the
-    # per-stream CSI column broadcasts over the data symbols
-    n_own = csi_w.shape[1]
+    # per-stream CSI column broadcasts over the data symbols (csi_w is
+    # (C, n_own) — same stream count the h_eff slice above used)
     csi_k = jnp.broadcast_to(
         csi_w.T[:, None, :],
         (n_own, cfg.num_data_symbols, cfg.num_carriers)).reshape(-1)

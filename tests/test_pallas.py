@@ -124,3 +124,37 @@ def test_ls_planes_pallas_matches_xla():
     hr, hi = ls_planes_pallas(cfg, planes, block_samples=4, raw=True)
     got_r = np.asarray(ls_raw_to_complex(cfg, hr, hi, s))
     np.testing.assert_allclose(got_r, ref, rtol=0, atol=2e-4)
+
+
+def test_ls_planes_pallas_v2_matches_xla():
+    """v2 of the flat-planes kernel (merged complex dots, decoupled
+    DMA/despread blocks, fused ssq) — the path behind the headline
+    bench number and CSIPredictor.estimate_full — equals
+    ls_estimate_planes, including row padding and the ssq partials."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamimo_tpu.config import SimConfig
+    from mamimo_tpu.ops.estimate import ls_estimate_planes
+    from mamimo_tpu.ops.pallas import ls_planes_pallas_v2_constants
+    from mamimo_tpu.ops.pallas.fused_ls import (
+        ls_planes_pallas_v2,
+        ls_v2_to_complex,
+    )
+
+    cfg = SimConfig(num_tx=8, num_rx=2)
+    key = jax.random.PRNGKey(5)
+    s = 11                                      # odd: exercises row pad
+    planes = jax.random.normal(key, (2, s, cfg.len_ltf))
+    ref = np.asarray(ls_estimate_planes(cfg, planes))
+    for dma in (None, 8):                       # default 4x and n_sub=2
+        h, ssq = ls_planes_pallas_v2(cfg, planes, block_samples=4,
+                                     dma_samples=dma, with_ssq=True)
+        got = np.asarray(ls_v2_to_complex(cfg, h, s))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+        # ssq partials sum to 8·Σ|h|² over the PADDED rows (pad rows
+        # are zero so they do not contribute)
+        tot = float(np.asarray(jnp.sum(ssq)) / 8.0)
+        want = float(np.sum(np.abs(ref) ** 2))
+        np.testing.assert_allclose(tot, want, rtol=1e-3)
