@@ -410,3 +410,102 @@ def lmmse_estimate_direct(cfg: SimConfig, h_ls, tau, snr_db):
     x = jnp.linalg.solve(rpp, rhs)                       # (..., R, C, s)
     y = rf @ x                                           # (..., R, C, s)
     return jnp.moveaxis(y, -3, -1).astype(jnp.complex64)
+
+
+def _lmmse_generator(cfg: SimConfig, tau):
+    """Toeplitz generator of Rf: f[k] = 1/(1 + j·2π·τ_rms·df·k),
+    k = 0..C−1 (negative lags are conj(f[k]) — Rf is Hermitian)."""
+    tau_rms = lmmse_tau_rms(jnp.asarray(tau))            # (...,)
+    n = cfg.num_carriers
+    k = jnp.arange(n, dtype=jnp.float32)
+    jw = 1j * (2.0 * jnp.pi / n) * tau_rms[..., None]    # (..., 1)
+    return 1.0 / (1.0 + jw * k)                          # (..., C) complex
+
+
+def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
+                      n_iter: int = 16, embed: int = 512):
+    """LMMSE estimate via circulant-preconditioned CG — identical math
+    to lmmse_estimate, restructured for the TPU.
+
+    Structure exploited (a BEAT over LMMSE_ce.m:37-39, which LU-solves
+    the dense system per (packet, rx-antenna)): Rf[a,b] depends only on
+    a−b — it is Hermitian TOEPLITZ, generated by the single scalar
+    τ_rms — and M·h = Rf·Rpp⁻¹·h = h − σ²·Rpp⁻¹·h (since
+    Rf = Rpp − σ²I). So the whole estimator is ONE Toeplitz-plus-σ²I
+    solve whose matvec is two batched FFTs through a 512-point
+    circulant embedding. Dense LU is a sequential, MXU-hostile lowering
+    on TPU (60 ms/call at batch 64 in results/timing_nt_sweep.json);
+    the CG form is FFT/VPU work with a fixed trip count (static
+    control flow under jit).
+
+    Preconditioner: the PADDED-CIRCULANT solve — restrict(C_512⁻¹
+    extend(r)) with C_512 the (clamped-PSD) 512-point embedding plus
+    σ²I. Strang/T.Chan C-point circulants were tried first and REJECTED:
+    this generator decays like 1/(αk), so the C/2-lag truncation they
+    rely on is a large perturbation and high-SNR convergence stalls
+    (measured 8e-2 after 16 iters at +20 dB vs 3e-5 for the padded
+    form). The padded preconditioner reuses the embedding spectrum the
+    matvec already computes and captures every lag; measured max|Δ| vs
+    the dense solve at n_iter=16: ≤1e-6 for SNR ≤ 0 dB, 5e-6 at +10,
+    3e-5 at +20, 1e-3 at +30 — and the absolute error is further
+    damped by σ² in ĥ = h − σ²·y, so high SNR is the forgiving
+    direction.
+
+    Args/shape contract: identical to lmmse_estimate
+    (h_ls (..., C, nsts, R); tau (..., ns); snr_db (..., R)).
+    """
+    n = cfg.num_carriers
+    m = embed
+    assert m >= 2 * n - 1, "embedding must cover every Toeplitz lag"
+    f = _lmmse_generator(cfg, tau)                       # (..., C)
+    cdt = f.dtype
+    # circulant embedding first column: [f(0..C−1), 0…, conj(f(C−1..1))]
+    zeros = jnp.zeros(f.shape[:-1] + (m - 2 * n + 1,), cdt)
+    c = jnp.concatenate(
+        [f, zeros, jnp.conj(f[..., 1:][..., ::-1])], axis=-1)
+    ce = jnp.fft.fft(c, axis=-1)[..., None, None, :]     # (..., 1, 1, M)
+    snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)            # (..., R)
+    sig2 = (1.0 / snr)[..., None, None]                  # (..., R, 1, 1)
+    # padded-circulant preconditioner spectrum: the embedding of a PSD
+    # Toeplitz need not be PSD — clamp, then add σ² (HPD by congruence)
+    pe = jnp.maximum(ce.real, 0.0) + sig2                # (..., R, 1, M)
+
+    # vectors live as (..., R, nsts, C)
+    b = jnp.swapaxes(
+        jnp.moveaxis(h_ls.astype(cdt), -1, -3), -1, -2)  # (..., R, s, C)
+
+    def matvec(v):
+        vp = jnp.fft.fft(v, n=m, axis=-1)
+        w = jnp.fft.ifft(vp * ce, axis=-1)[..., :n]
+        return w + sig2 * v
+
+    def precond(r):
+        rp = jnp.fft.fft(r, n=m, axis=-1)
+        return jnp.fft.ifft(rp / pe, axis=-1)[..., :n]
+
+    def rdot(u, v):
+        return jnp.sum(jnp.conj(u) * v, axis=-1,
+                       keepdims=True).real.astype(jnp.float32)
+
+    eps = jnp.float32(1e-30)
+    r0 = b
+    z0 = precond(r0)
+    rho0 = rdot(r0, z0)
+
+    def body(carry, _):
+        x, r, p, rho = carry
+        ap = matvec(p)
+        alpha = (rho / (rdot(p, ap) + eps)).astype(cdt)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rho_n = rdot(r, z)
+        beta = (rho_n / (rho + eps)).astype(cdt)
+        p = z + beta * p
+        return (x, r, p, rho_n), None
+
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (jnp.zeros_like(b), r0, z0, rho0), None, length=n_iter)
+    y = b - sig2 * x                                     # ĥ = h − σ²·Rpp⁻¹h
+    return jnp.moveaxis(
+        jnp.swapaxes(y, -1, -2), -3, -1).astype(jnp.complex64)

@@ -51,6 +51,7 @@ def main():
     from mamimo_tpu.models.mlp import init_stacked, predict_all_pairs
     from mamimo_tpu.ops.estimate import (
         lmmse_estimate,
+        lmmse_estimate_cg,
         lmmse_estimate_direct,
         lmmse_estimate_eig,
         ls_estimate_matmul,
@@ -108,6 +109,13 @@ def main():
             h = ls_estimate_matmul(cfg, r, c)
             return lmmse_estimate_direct(cfg, h, t, s)
 
+        # round-3b TPU-native LMMSE: Toeplitz structure of Rf →
+        # FFT-circulant matvecs + padded-circulant-preconditioned CG,
+        # fixed 16-iteration trip count (no LU at all)
+        def lmmse_cg_core(c, t, s, r, cfg=cfg):
+            h = ls_estimate_matmul(cfg, r, c)
+            return lmmse_estimate_cg(cfg, h, t, s)
+
         paths = [
             ("ls", _chained_step(ls_core, (lsc,)), rx, 1),
             ("lmmse", _chained_step(lmmse_core, (lsc, tau_b, snr)), rx, 1),
@@ -115,6 +123,8 @@ def main():
              rx, 1),
             ("lmmse_direct",
              _chained_step(lmmse_direct_core, (lsc, tau_b, snr)), rx, 1),
+            ("lmmse_cg",
+             _chained_step(lmmse_cg_core, (lsc, tau_b, snr)), rx, 1),
             ("dnn", _chained_step(dnn_core, (params, bn)), rx, 1),
             ("dnn_bf16", _chained_step(dnn_bf16_core, (params, bn)), rx, 1),
         ]

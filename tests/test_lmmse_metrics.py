@@ -82,6 +82,37 @@ def test_lmmse_eig_matches_solve(cfg):
     np.testing.assert_allclose(got2, ref2, atol=2e-3)
 
 
+def test_lmmse_cg_matches_solve(cfg):
+    """The circulant-preconditioned CG form (FFT matvecs through the
+    512-point Toeplitz embedding, padded-circulant preconditioner,
+    fixed trip count) is the same estimator as the dense solve across
+    the whole sounding SNR range, including mixed per-antenna SNRs
+    and multi-stream RHS."""
+    from mamimo_tpu.ops.estimate import lmmse_estimate_cg
+
+    rng = np.random.default_rng(5)
+    n = cfg.num_carriers
+    b = 3
+    tau = rng.uniform(1e-6, 4e-6, (b, cfg.n_scatterers)).astype(np.float32)
+    h_ls = (rng.standard_normal((b, n, 2, 4))
+            + 1j * rng.standard_normal((b, n, 2, 4))).astype(np.complex64)
+    for snr_db in (-25.0, 0.0, 20.0):
+        s = np.full((b, 4), snr_db, np.float32)
+        ref = np.asarray(lmmse_estimate(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+        got = np.asarray(lmmse_estimate_cg(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+    # mixed per-antenna SNRs (the per-antenna σ² enters the matvec,
+    # the preconditioner spectrum, and the final h − σ²·y correction)
+    s = rng.uniform(-25.0, 15.0, (b, 4)).astype(np.float32)
+    ref = np.asarray(lmmse_estimate(
+        cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+    got = np.asarray(lmmse_estimate_cg(
+        cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_lmmse_high_snr_identity(cfg):
     """At very high SNR the LMMSE weight tends to identity."""
     tau = np.linspace(3e-6, 3.5e-6, cfg.n_scatterers).astype(np.float32)
