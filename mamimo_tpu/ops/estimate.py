@@ -474,14 +474,26 @@ def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
     b = jnp.swapaxes(
         jnp.moveaxis(h_ls.astype(cdt), -1, -3), -1, -2)  # (..., R, s, C)
 
+    # The M-point transforms as TRUNCATED DFT matmuls, not jnp.fft:
+    # measured on-chip, an XLA TPU FFT roundtrip at these shapes runs
+    # 1.67 ms vs 0.71 ms for the full 512×512 matmul (the FFT lowering
+    # doesn't use the MXU) — and the CG vectors occupy only C of the M
+    # bins, so the forward needs just C rows and the inverse just C
+    # columns (another 2.2× fewer MACs). Matrices are built IN-GRAPH
+    # from real arange (complex literals can't cross the host boundary
+    # on this backend, PERF.md).
+    kc = jnp.arange(n, dtype=jnp.float32)
+    jm = jnp.arange(m, dtype=jnp.float32)
+    ang = (2.0 * jnp.pi / m) * (kc[:, None] * jm[None, :])
+    fwd = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))   # (C, M)
+    inv = jnp.swapaxes(jnp.conj(fwd), 0, 1) / m          # (M, C)
+
     def matvec(v):
-        vp = jnp.fft.fft(v, n=m, axis=-1)
-        w = jnp.fft.ifft(vp * ce, axis=-1)[..., :n]
+        w = ((v @ fwd) * ce) @ inv
         return w + sig2 * v
 
     def precond(r):
-        rp = jnp.fft.fft(r, n=m, axis=-1)
-        return jnp.fft.ifft(rp / pe, axis=-1)[..., :n]
+        return ((r @ fwd) / pe) @ inv
 
     def rdot(u, v):
         return jnp.sum(jnp.conj(u) * v, axis=-1,
