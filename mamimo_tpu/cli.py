@@ -202,20 +202,43 @@ def cmd_sweep(args) -> None:
         from mamimo_tpu.eval.snr_sweep import run_mu_snr_sweep
 
         cfg = dataclasses.replace(cfg, num_users=args.num_users)
-        # the MU leg evaluates analytic CSI sources only (the per-user
-        # DNN predictor is a single-user artifact; loading it here
-        # would silently mis-scope it) — fail loudly, don't ignore
-        for flag, name in ((args.modeldir, "--modeldir"),
-                           (args.closed_loop, "--closed-loop")):
-            if flag:
-                raise SystemExit(
-                    f"[sweep] {name} is not supported with --num-users>1 "
-                    "(the MU sweep IS the closed loop, over LS/LMMSE/"
-                    "perfect CSI)")
+        if args.closed_loop:
+            raise SystemExit(
+                "[sweep] --closed-loop is not supported with "
+                "--num-users>1 (the MU sweep IS the closed loop)")
+        # per-user DNN CSI source (BER_test_maMIMO_LTF.m:347 inside the
+        # numUsers>1 generator branch): --modeldir points at a directory
+        # with one trained checkpoint per user under u0/, u1/, … (the
+        # layout scripts/run_mu_dnn_tpu.py trains); leaves are stacked
+        # on a leading user axis for the vmapped sweep.
+        dnn_models, tcfg, sources = None, None, ("ls", "lmmse", "perfect")
+        if args.modeldir:
+            import numpy as np
+
+            from mamimo_tpu.train.ckpt import load_checkpoint
+
+            cks = []
+            for u in range(args.num_users):
+                udir = os.path.join(args.modeldir, f"u{u}", "best")
+                if not os.path.exists(udir + ".npz"):
+                    raise SystemExit(
+                        f"[sweep] --num-users={args.num_users} needs a "
+                        f"per-user checkpoint at {udir}.npz (train with "
+                        "scripts/run_mu_dnn_tpu.py or cli train on "
+                        "generate_dataset(user=u) corpora)")
+                cks.append(load_checkpoint(udir))
+            import jax
+
+            tree_stack = lambda ts: jax.tree.map(
+                lambda *ls: np.stack([np.asarray(l) for l in ls]), *ts)
+            dnn_models = (tree_stack([c["params"] for c in cks]),
+                          tree_stack([c["bn_state"] for c in cks]))
+            tcfg = cks[0]["tcfg"]
+            sources = ("ls", "lmmse", "dnn", "perfect")
         res = run_mu_snr_sweep(
             cfg, snr_levels=args.snr, num_packets=args.packets,
-            seed=args.seed, sources=("ls", "lmmse", "perfect"),
-            chunk=args.chunk or 8,
+            seed=args.seed, sources=sources,
+            chunk=args.chunk or 8, dnn_models=dnn_models, tcfg=tcfg,
         )
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(args.out, "mu_sweep.json")

@@ -10,6 +10,8 @@ from mamimo_tpu.ops.ltf import (  # noqa: F401
 from mamimo_tpu.ops.estimate import (  # noqa: F401
     lmmse_eig_factor,
     lmmse_estimate,
+    lmmse_estimate_cg,
+    lmmse_estimate_direct,
     lmmse_estimate_eig,
     ls_estimate,
     ls_estimate_matmul,

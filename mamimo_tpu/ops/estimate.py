@@ -379,8 +379,11 @@ def lmmse_estimate(cfg: SimConfig, h_ls, tau, snr_db):
 
 
 def lmmse_estimate_direct(cfg: SimConfig, h_ls, tau, snr_db):
-    """LMMSE estimate without materializing the smoothing matrix —
-    the round-3 fast form (identical math to lmmse_estimate):
+    """LMMSE estimate without materializing the smoothing matrix
+    (identical math to lmmse_estimate). Measured on-chip it is only
+    ~4% faster than the dense form — the LU factorization dominates —
+    so the production sounding path is lmmse_estimate_cg below; this
+    form remains the exact no-materialization solve:
 
         ĥ = M·h = Rhp·Rpp⁻¹·h = Rf · solve(Rpp, h)
 

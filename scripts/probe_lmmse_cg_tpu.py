@@ -71,7 +71,9 @@ def main():
         h = ls_estimate_matmul(cfg, r, c)
         return lmmse_estimate_cg(cfg, h, t, s)
 
-    n_est = b * cfg.num_carriers * cfg.num_tx * cfg.num_rx
+    # repo convention (timing_nt_sweep, bench): one "estimate" is the
+    # (C,)-carrier vector of one (packet, tx, rx) antenna pair
+    n_est = b * cfg.num_tx * cfg.num_rx
     out = {"device": str(dev), "batch": b, "num_tx": args.num_tx,
            "num_rx": args.num_rx, "per_call_s": {}, "per_estimate_s": {}}
     for name, core in (("lmmse", dense_core), ("lmmse_direct", direct_core),

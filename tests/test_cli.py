@@ -44,3 +44,38 @@ def test_cli_sweep(tmp_path):
           "-o", f"{d}/sweep"])
     assert os.path.exists(f"{d}/sweep/sweep.json")
     assert os.path.exists(f"{d}/sweep/MSE.png")
+
+
+def test_cli_mu_sweep_with_dnn(tmp_path):
+    """--num-users>1 --modeldir: per-user checkpoints under u{N}/ feed
+    the 'dnn' CSI source of the MU closed-loop sweep (the CLI face of
+    generate_maMIMO_LTF.m:427-440 + BER_test_maMIMO_LTF.m:347)."""
+    import json
+
+    import jax
+
+    from mamimo_tpu.config import SimConfig, TrainConfig
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+    from mamimo_tpu.pipeline.multiuser import index_user, make_scenarios
+    from mamimo_tpu.train import fit
+
+    d = str(tmp_path)
+    cfg = SimConfig(num_users=2, num_tx=8, num_rx=2, n_scatterers=12)
+    tcfg = TrainConfig(hidden=(16, 16), epochs=2, batch_size=32,
+                       dropout=0.0, seed=3)
+    # train on the SAME placements the sweep will draw (seed contract)
+    scens = make_scenarios(cfg, jax.random.PRNGKey(3))
+    for u in range(2):
+        ds = generate_dataset(cfg, seed=3, num_packets=6, snr_db=120.0,
+                              chunk=3, scenario=index_user(scens, u),
+                              user=u)
+        fit(cfg, tcfg, ds, workdir=f"{d}/mu/u{u}", verbose=False)
+        assert os.path.exists(f"{d}/mu/u{u}/best.npz")
+
+    main(["sweep", "--num-tx", "8", "--num-rx", "2", "--scatterers", "12",
+          "--num-users", "2", "--seed", "3", "--snr", "0",
+          "--packets", "2", "--chunk", "2", "--modeldir", f"{d}/mu",
+          "-o", f"{d}/musweep"])
+    out = json.load(open(f"{d}/musweep/mu_sweep.json"))
+    assert set(out["sources"]) == {"ls", "lmmse", "dnn", "perfect"}
+    assert len(out["sources"]["dnn"]["ber"][0]) == 2   # per-user values
