@@ -91,6 +91,7 @@ def cmd_gen(args) -> None:
         cfg, seed=args.seed, num_packets=args.packets, snr_db=args.snr,
         with_mmse=args.mmse, noise_mode=args.noise_mode, chunk=args.chunk,
         interference_dbm=args.interference_dbm,
+        mmse_estimator=args.mmse_estimator, mmse_n_iter=args.mmse_iters,
     )
     ds.save(args.out)
     print(f"[gen] wrote {args.out}: {ds.num_packets} packets @ "
@@ -220,13 +221,33 @@ def cmd_sweep(args) -> None:
             cks = []
             for u in range(args.num_users):
                 udir = os.path.join(args.modeldir, f"u{u}", "best")
-                if not os.path.exists(udir + ".npz"):
+                # both checkpoint backends (npz file / orbax dir) write
+                # the .json sidecar — gate on that and let
+                # load_checkpoint dispatch on the stored backend
+                if not os.path.exists(udir + ".json"):
                     raise SystemExit(
                         f"[sweep] --num-users={args.num_users} needs a "
-                        f"per-user checkpoint at {udir}.npz (train with "
+                        f"per-user checkpoint at {udir}.json (train with "
                         "scripts/run_mu_dnn_tpu.py or cli train on "
                         "generate_dataset(user=u) corpora)")
                 cks.append(load_checkpoint(udir))
+            # consistency gates: every checkpoint must have been trained
+            # at the sweep's signal dimensions, and the per-user tcfg
+            # must agree (tcfg is taken from u0 for the stacked apply —
+            # a silent mismatch would mis-drive BN/dropout for the rest)
+            for u, c in enumerate(cks):
+                ccfg = c["cfg"]
+                mism = [f"{k}={getattr(ccfg, k)}!={getattr(cfg, k)}"
+                        for k in ("num_tx", "num_rx", "num_carriers")
+                        if getattr(ccfg, k) != getattr(cfg, k)]
+                if mism:
+                    raise SystemExit(
+                        f"[sweep] u{u} checkpoint dims do not match the "
+                        f"sweep config: {', '.join(mism)}")
+                if c["tcfg"] != cks[0]["tcfg"]:
+                    raise SystemExit(
+                        f"[sweep] u{u} TrainConfig differs from u0's — "
+                        "stacked per-user models must share one tcfg")
             import jax
 
             tree_stack = lambda ts: jax.tree.map(
@@ -332,6 +353,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--interference-dbm", type=float, default=-55.0,
                    help="'sinr'-mode interference power "
                         "(generate_maMIMO_LTF_SINR.m hard-codes -55)")
+    g.add_argument("--mmse-estimator", default="cg",
+                   choices=["cg", "direct", "dense", "eig"],
+                   help="LMMSE form for --mmse: 'cg' (production, "
+                        "fixed-trip-count) or the exact 'direct'/"
+                        "'dense'/'eig' solves (e.g. for noiseless "
+                        "label generation)")
+    g.add_argument("--mmse-iters", type=int, default=16,
+                   help="CG trip count (--mmse-estimator cg)")
     g.add_argument("--chunk", type=int, default=16)
     g.add_argument("-o", "--out", required=True)
     g.set_defaults(fn=cmd_gen)

@@ -487,7 +487,11 @@ def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
     # on this backend, PERF.md).
     kc = jnp.arange(n, dtype=jnp.float32)
     jm = jnp.arange(m, dtype=jnp.float32)
-    ang = (2.0 * jnp.pi / m) * (kc[:, None] * jm[None, :])
+    # reduce the index product mod m BEFORE scaling: k·j < 2^24 so the
+    # product and the mod are exact in float32, keeping every angle in
+    # [0, 2π) — unreduced angles reach ~1460 rad where float32 rounding
+    # of the product alone costs ~1e-4 rad of phase per entry
+    ang = (2.0 * jnp.pi / m) * jnp.mod(kc[:, None] * jm[None, :], m)
     fwd = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))   # (C, M)
     inv = jnp.swapaxes(jnp.conj(fwd), 0, 1) / m          # (M, C)
 

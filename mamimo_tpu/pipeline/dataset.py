@@ -212,6 +212,8 @@ def generate_dataset(
     user: int = 0,
     with_ber: bool = False,
     interference_dbm: float = -55.0,
+    mmse_estimator: str = "cg",
+    mmse_n_iter: int = 16,
 ) -> CSIDataset:
     """Generate a sounding dataset on device.
 
@@ -256,6 +258,7 @@ def generate_dataset(
             cfg, k_chan, scen, snr_db, preamble=pre, with_mmse=with_mmse,
             noise_mode=noise_mode, fft_size=fft_size,
             interference_dbm=interference_dbm,
+            mmse_estimator=mmse_estimator, mmse_n_iter=mmse_n_iter,
         )
         if with_ber:
             from mamimo_tpu.config import default_fft_size

@@ -26,7 +26,13 @@ from mamimo_tpu.channel.scattering import (
     apply_channel_model,
     realize_channel,
 )
-from mamimo_tpu.ops.estimate import lmmse_estimate_cg, ls_estimate
+from mamimo_tpu.ops.estimate import (
+    lmmse_estimate,
+    lmmse_estimate_cg,
+    lmmse_estimate_direct,
+    lmmse_estimate_eig,
+    ls_estimate,
+)
 from mamimo_tpu.ops.ltf import gen_preamble
 from mamimo_tpu.ops.ofdm import ofdm_demodulate
 
@@ -49,22 +55,40 @@ def pad_signal(cfg: SimConfig, sig):
 
 
 def estimate_from_rx(cfg: SimConfig, rx, tau=None, snr_db=None,
-                     with_mmse: bool = False):
+                     with_mmse: bool = False,
+                     mmse_estimator: str = "cg",
+                     mmse_n_iter: int = 16):
     """OFDM-demod + LS (+LMMSE) from a synced received preamble.
 
     The analytic half of the DNN's job: ``ofdmdemod`` + LS despread
     (generate_maMIMO_LTF.m:336-342). rx: (..., len_ltf, num_rx).
+
+    Args:
+      mmse_estimator: which LMMSE form to run when with_mmse:
+        'cg' (default — circulant-preconditioned CG, 6.9× the LU forms
+        on-chip, results/probe_lmmse_cg.json; ≤3e-5 from the dense
+        solve across the protocol SNR range, tested to +120 dB in
+        tests/test_estimate.py::test_lmmse_cg_high_snr), 'direct'
+        (exact solve on the actual RHS — the escape hatch for regimes
+        where a fixed CG trip count is not wanted), 'dense' (faithful
+        LMMSE_ce.m M-matrix form), or 'eig' (eigenbasis form).
+      mmse_n_iter: CG trip count ('cg' only).
     """
     grid, _ = ofdm_demodulate(cfg, rx, nsym=cfg.num_tx)
     h_ls = ls_estimate(cfg, grid, cfg.num_tx)
     if with_mmse:
-        # CG form: Rf is Hermitian Toeplitz, so the whole estimator is
-        # one circulant-preconditioned CG solve applied as truncated-DFT
-        # matmuls — 6.9× the dense/direct LU forms on-chip
-        # (results/probe_lmmse_cg.json), ≤3e-5 from the dense solve
-        # across the protocol SNR range (worst ~4e-3 ≈ −48 dB near the
-        # +40 dB crossover — far below the −14 dB estimator floor).
-        h_mmse = lmmse_estimate_cg(cfg, h_ls, tau, snr_db)
+        if mmse_estimator == "cg":
+            h_mmse = lmmse_estimate_cg(cfg, h_ls, tau, snr_db,
+                                       n_iter=mmse_n_iter)
+        elif mmse_estimator == "direct":
+            h_mmse = lmmse_estimate_direct(cfg, h_ls, tau, snr_db)
+        elif mmse_estimator == "dense":
+            h_mmse = lmmse_estimate(cfg, h_ls, tau, snr_db)
+        elif mmse_estimator == "eig":
+            h_mmse = lmmse_estimate_eig(cfg, h_ls, tau, snr_db)
+        else:
+            raise ValueError(
+                f"unknown mmse_estimator {mmse_estimator!r}")
     else:
         h_mmse = jnp.zeros_like(h_ls)
     return h_ls, h_mmse
@@ -81,6 +105,8 @@ def sound_packet(
     fft_size: int | None = None,
     interference_dbm: float = -55.0,
     noise_floor_dbm: float = -85.0,
+    mmse_estimator: str = "cg",
+    mmse_n_iter: int = 16,
 ) -> tuple[SoundingResult, ChannelRealization]:
     """Simulate one sounding packet.
 
@@ -128,7 +154,8 @@ def sound_packet(
         raise ValueError(f"unknown noise_mode {noise_mode!r}")
 
     h_ls, h_mmse = estimate_from_rx(
-        cfg, rx, chan.tau, snr_cs, with_mmse=with_mmse
+        cfg, rx, chan.tau, snr_cs, with_mmse=with_mmse,
+        mmse_estimator=mmse_estimator, mmse_n_iter=mmse_n_iter,
     )
 
     # "perfect" oracle: same chain with negligible noise. The gain

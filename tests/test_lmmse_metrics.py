@@ -113,6 +113,65 @@ def test_lmmse_cg_matches_solve(cfg):
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_lmmse_cg_high_snr(cfg):
+    """Pin the CG-vs-exact delta in the high-SNR / near-noiseless
+    regime (Rpp ≈ Rf near-singular) that production noiseless label
+    generation (cli generate --mmse, snr default 120 dB) runs in —
+    previously only asserted in comments. Worst case is the +40 dB
+    crossover (~4.4e-3 on unit-scale inputs ≈ −47 dB relative); the
+    σ² damping in ĥ = h − σ²·y makes +120 dB benign again."""
+    from mamimo_tpu.ops.estimate import lmmse_estimate_cg
+
+    rng = np.random.default_rng(5)
+    n = cfg.num_carriers
+    b = 3
+    tau = rng.uniform(1e-6, 4e-6, (b, cfg.n_scatterers)).astype(np.float32)
+    h_ls = (rng.standard_normal((b, n, 2, 4))
+            + 1j * rng.standard_normal((b, n, 2, 4))).astype(np.complex64)
+    from mamimo_tpu.ops.estimate import lmmse_estimate_direct
+
+    bounds = {30.0: 2e-3, 40.0: 8e-3, 120.0: 3e-3}
+    for snr_db, atol in bounds.items():
+        s = np.full((b, 4), snr_db, np.float32)
+        ref = np.asarray(lmmse_estimate_direct(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+        got = np.asarray(lmmse_estimate_cg(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+        assert np.abs(got - ref).max() < atol, snr_db
+
+
+def test_estimate_from_rx_mmse_estimator_dispatch(cfg):
+    """The mmse_estimator escape hatch (ADVICE r3): 'direct' gives the
+    exact solve on the sounding path, unknown names raise."""
+    import pytest
+
+    from mamimo_tpu.ops.estimate import lmmse_estimate_direct, ls_estimate
+    from mamimo_tpu.ops.ofdm import ofdm_demodulate
+    from mamimo_tpu.pipeline.sounding import estimate_from_rx
+
+    rng = np.random.default_rng(9)
+    rx = (rng.standard_normal((cfg.len_ltf, cfg.num_rx))
+          + 1j * rng.standard_normal((cfg.len_ltf, cfg.num_rx))
+          ).astype(np.complex64)
+    tau = rng.uniform(1e-6, 4e-6, cfg.n_scatterers).astype(np.float32)
+    snr = np.full((cfg.num_rx,), 40.0, np.float32)
+    h_ls, h_direct = estimate_from_rx(
+        cfg, jnp.asarray(rx), jnp.asarray(tau), jnp.asarray(snr),
+        with_mmse=True, mmse_estimator="direct")
+    grid, _ = ofdm_demodulate(cfg, jnp.asarray(rx), nsym=cfg.num_tx)
+    want_ls = ls_estimate(cfg, grid, cfg.num_tx)
+    want = lmmse_estimate_direct(cfg, want_ls, jnp.asarray(tau),
+                                 jnp.asarray(snr))
+    np.testing.assert_allclose(np.asarray(h_direct), np.asarray(want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_ls), np.asarray(want_ls),
+                               atol=1e-6)
+    with pytest.raises(ValueError):
+        estimate_from_rx(cfg, jnp.asarray(rx), jnp.asarray(tau),
+                         jnp.asarray(snr), with_mmse=True,
+                         mmse_estimator="nope")
+
+
 def test_lmmse_high_snr_identity(cfg):
     """At very high SNR the LMMSE weight tends to identity."""
     tau = np.linspace(3e-6, 3.5e-6, cfg.n_scatterers).astype(np.float32)
