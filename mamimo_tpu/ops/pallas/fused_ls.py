@@ -322,17 +322,20 @@ def _planes_kernel_v2(x_ref, b_ref, k_ref, h_ref, ssq_ref, *, cp: int,
     zr = tr[:, :cp] - ti[:, cp:]                  # (R, Cp)
     zi = tr[:, cp:] + ti[:, :cp]
     z = jnp.concatenate([zr, zi], axis=1)         # (R, 2Cp) f32
-    # block-diagonal despread, both planes in ONE (r, r)·(r, 2Cp) dot
-    # per sub-block: K = I⊗P wastes MACs quadratically in its size, so
-    # the despread granularity is decoupled from the (larger) DMA block
-    # that amortizes per-grid-step overheads
+    # block-diagonal despread, both planes in ONE (r_out, r_in)·(r_in,
+    # 2Cp) dot per sub-block: K = I⊗P wastes MACs quadratically in its
+    # size, so the despread granularity is decoupled from the (larger)
+    # DMA block that amortizes per-grid-step overheads. K may be
+    # rectangular: under sequence sharding each device holds loc < nsym
+    # symbols per sample and K = I ⊗ P[:, local_cols] maps r_in local
+    # rows to r_out = block·nsym PARTIAL estimates (psum'd outside).
     k = k_ref[:]
-    r = k.shape[0]
+    r_out, r_in = k.shape
     ssq = None
     for i in range(n_sub):
-        zi_sub = z[i * r:(i + 1) * r].astype(k.dtype)
+        zi_sub = z[i * r_in:(i + 1) * r_in].astype(k.dtype)
         h = jnp.dot(k, zi_sub, preferred_element_type=jnp.float32)
-        h_ref[i * r:(i + 1) * r] = h.astype(h_ref.dtype)
+        h_ref[i * r_out:(i + 1) * r_out] = h.astype(h_ref.dtype)
         if with_ssq:
             s = jnp.sum(h * h, axis=0, keepdims=True)
             ssq = s if ssq is None else ssq + s
@@ -371,33 +374,40 @@ def ls_planes_pallas_v2(cfg: SimConfig, planes, consts=None, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     _, s, L = planes.shape
-    nsym = cfg.num_tx
+    assert L % cfg.sym_len == 0
+    # symbols per sample in THIS input: cfg.num_tx for the full
+    # preamble, nsym/n_seq for a sequence-sharded local block
+    nsym_in = L // cfg.sym_len
     if consts is None:
         consts = ls_planes_pallas_v2_constants(cfg, block_samples,
                                                dtype=planes.dtype)
     b, k = consts
     cp_ = b.shape[1] // 2
-    r = block_samples * nsym
-    assert k.shape == (r, r)
+    r_out, r_in = k.shape
+    assert r_in == block_samples * nsym_in, (k.shape, nsym_in)
+    assert r_out % block_samples == 0
+    nsym_out = r_out // block_samples
     if dma_samples is None:
         dma_samples = 4 * block_samples
     n_sub = max(dma_samples // block_samples, 1)
     dma_samples = n_sub * block_samples
-    rd = dma_samples * nsym                       # rows per DMA block
+    rd_in = dma_samples * nsym_in                 # input rows / DMA block
+    rd_out = dma_samples * nsym_out               # output rows / block
 
     sp = _round_up(s, dma_samples)
-    x = planes.reshape(2, s * nsym, cfg.sym_len)
+    x = planes.reshape(2, s * nsym_in, cfg.sym_len)
     if sp != s:
-        x = jnp.zeros((2, sp * nsym, cfg.sym_len), x.dtype
-                      ).at[:, : s * nsym].set(x)
-    rows = sp * nsym
-    n_blocks = rows // rd
+        x = jnp.zeros((2, sp * nsym_in, cfg.sym_len), x.dtype
+                      ).at[:, : s * nsym_in].set(x)
+    rows_in = sp * nsym_in
+    rows = sp * nsym_out
+    n_blocks = rows_in // rd_in
 
     blk = lambda i: (0, i, 0)                     # noqa: E731
     const = lambda i: (0, 0)                      # noqa: E731
     out_shape = [jax.ShapeDtypeStruct((rows, 2 * cp_),
                                       out_dtype or jnp.float32)]
-    out_specs = [pl.BlockSpec((rd, 2 * cp_), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((rd_out, 2 * cp_), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if with_ssq:
         out_shape.append(
@@ -415,10 +425,10 @@ def ls_planes_pallas_v2(cfg: SimConfig, planes, consts=None, *,
         kern,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((2, rd, cfg.sym_len), blk,
+            pl.BlockSpec((2, rd_in, cfg.sym_len), blk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(b.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, r), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_out, r_in), const, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,

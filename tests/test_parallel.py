@@ -247,3 +247,31 @@ def test_fit_with_mesh_resume(small_cfg, tmp_path):
     assert res.epochs_ran == 3
     assert len(res.history["loss_real"]) == 3       # spliced history
     assert np.all(np.isfinite(res.best_val))
+
+
+def test_sharded_pallas_v2_data_and_seq(small_cfg):
+    """The PRODUCTION Pallas kernel (ls_planes_pallas_v2, interpret
+    mode on the CPU mesh) composed under shard_map — data-sharded and
+    seq-sharded with the rectangular partial despread + psum — equals
+    the unsharded XLA planes form (VERDICT r3 item 5)."""
+    from mamimo_tpu.ops.estimate import ls_estimate_planes
+    from mamimo_tpu.parallel.sharded import sharded_ls_pallas_v2
+
+    cfg = small_cfg
+    rng = np.random.default_rng(11)
+    s = 8                                     # S = B·num_rx samples
+    planes = jnp.asarray(
+        rng.standard_normal((2, s, cfg.len_ltf)), jnp.float32)
+    ref = np.asarray(ls_estimate_planes(cfg, planes))
+
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    out = sharded_ls_pallas_v2(cfg, mesh, planes, mode="data",
+                               block_samples=2)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    for n_seq in (2, 4):
+        mesh = make_mesh({"seq": n_seq}, devices=jax.devices()[:n_seq])
+        out = sharded_ls_pallas_v2(cfg, mesh, planes, mode="seq",
+                                   block_samples=2)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4,
+                                   err_msg=f"n_seq={n_seq}")
