@@ -572,15 +572,30 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
     data = _mk_data(key)
     n_samples = num_packets * cfg.num_tx * cfg.num_rx
     results = {}
-    for prec in ("f32", "bf16", "f32_rbg"):
+    # variant grammar: '<f32|bf16>[_rbg][_mubf16]' — matmul dtype,
+    # hardware-RNG AWGN, bf16 Adam first-moment storage. Override the
+    # grid via env (BENCH_TRAIN_VARIANTS / BENCH_TRAIN_BATCHES) so the
+    # headline-compat rows and the batch-scaling push can run as
+    # separate invocations without recompiling the union every time.
+    variants = tuple(os.environ.get(
+        "BENCH_TRAIN_VARIANTS", "f32,bf16,f32_rbg").split(","))
+    if os.environ.get("BENCH_TRAIN_BATCHES"):
+        batch_sizes = tuple(
+            int(b) for b in os.environ["BENCH_TRAIN_BATCHES"].split(","))
+    for prec in variants:
         for bs in batch_sizes:
             tcfg = TrainConfig(batch_size=bs,
                                matmul_dtype=prec.split("_")[0],
-                               awgn_rng=("rbg" if prec.endswith("rbg")
+                               awgn_rng=("rbg" if "_rbg" in prec
                                          else "threefry"),
+                               opt_dtype=("bf16" if "_mubf16" in prec
+                                          else "f32"),
                                steps_per_call=steps_per_call)
             params, bn_state = init_stacked(key, cfg, tcfg)
-            opt = optax.adam(tcfg.lr)
+            opt = optax.adam(
+                tcfg.lr,
+                mu_dtype=(jnp.bfloat16 if tcfg.opt_dtype == "bf16"
+                          else None))
             opt_state = jax.jit(opt.init)(params)
             step = make_train_step(cfg, tcfg, data, 1.0, opt)[0]
 

@@ -197,6 +197,15 @@ class TrainConfig:
     # (still deterministic-per-key) random stream — resume contracts
     # hold within a run; don't flip it mid-experiment.
     awgn_rng: str = "threefry"
+    # Adam FIRST-moment (mu) storage dtype: 'f32' | 'bf16'. bf16 mu
+    # halves that moment's HBM read+write in the optimizer stage (the
+    # train step is HBM-bound at the weight/Adam traffic, PERF.md
+    # §Training roofline). mu moves ~(1-b1)=10% of g per step — far
+    # above the 0.4% bf16 ulp, so EMA accumulation is safe; the SECOND
+    # moment (nu) deliberately stays f32: its per-step change is
+    # (1-b2)=0.1% of its steady-state value, BELOW the bf16 ulp, so a
+    # bf16 nu stops accumulating (rounds back to itself) and freezes.
+    opt_dtype: str = "f32"
     # optimizer steps fused into one dispatch via lax.scan — amortizes
     # per-call latency on remote/tunneled runtimes (no semantic change)
     steps_per_call: int = 1

@@ -371,12 +371,10 @@ def make_sharded_train_step(cfg: SimConfig, tcfg: TrainConfig, mesh: Mesh,
     with x2 (2, B, len) / pilot (B, num_tx) / y2 (2, B, C) sharded on
     the batch dim over ``data_axis``.
     """
-    import optax
-
     from mamimo_tpu.models.mlp import init_stacked
-    from mamimo_tpu.train.loop import make_batch_update
+    from mamimo_tpu.train.loop import make_batch_update, make_optimizer
 
-    opt = optax.scale_by_adam()
+    opt = make_optimizer(tcfg)
     batch_sh = NamedSharding(mesh, P(None, data_axis))
     pilot_sh = NamedSharding(mesh, P(data_axis))
 

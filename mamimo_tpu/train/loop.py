@@ -115,6 +115,16 @@ def _raw_matches(path: str, ds: CSIDataset) -> bool:
         return False
 
 
+def make_optimizer(tcfg: TrainConfig):
+    """The training optimizer (Adam scaling; lr applied in the step).
+
+    tcfg.opt_dtype='bf16' stores the first moment in bfloat16 — halves
+    that moment's HBM traffic in the (HBM-bound) optimizer stage; the
+    second moment stays f32 (see TrainConfig.opt_dtype for why)."""
+    mu_dtype = jnp.bfloat16 if tcfg.opt_dtype == "bf16" else None
+    return optax.scale_by_adam(mu_dtype=mu_dtype)
+
+
 def _plane_mask(tcfg: TrainConfig):
     """(2,) update mask implementing --onlyReal/--onlyImag
     (massiveMIMO_CSI_prediction_DNN.py:167-171): excluded planes keep
@@ -373,7 +383,7 @@ def fit(
     avg_sig_pow = float(np.mean(np.real(train_ds.rx[:train_pkts]) ** 2))
 
     params, bn_state = init_stacked(k_init, cfg, tcfg)
-    opt = optax.scale_by_adam()
+    opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
 
     start_epoch = 0

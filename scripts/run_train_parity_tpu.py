@@ -1,11 +1,19 @@
 #!/usr/bin/env python
-"""bf16-matmul training parity check (VERDICT r2 item 3): train the
-BS32 model twice from the same seed — matmul_dtype='f32' vs 'bf16' —
-and compare the early-stopped best validation MSE. Gates the bf16 train
-option: it is a legitimate speed knob only if the converged quality is
-the same within noise.
+"""Training parity gates for the throughput knobs: train the BS32
+model from the same seed under each variant and compare the best
+validation MSE against the f32/threefry baseline. A knob is a
+legitimate speed default only if converged quality is the same within
+noise. Variants (VERDICT r3 item 1b):
 
-Writes results/train_parity.json.
+  f32              baseline (threefry AWGN, f32 matmuls, f32 Adam)
+  bf16             bf16 matmul operand storage
+  f32_rbg          hardware RngBitGenerator AWGN draw
+  bf16_rbg_mubf16  the full production-candidate stack: bf16 matmuls
+                   + rbg AWGN + bf16 Adam first moment
+
+Each run is checkpoint-resumable in its own workdir. Writes
+results/train_parity.json with per-variant best val MSE and dB deltas
+vs f32.
 """
 
 import json
@@ -31,6 +39,8 @@ def main():
     ap.add_argument("--num-rx", type=int, default=4)
     ap.add_argument("--workdir", default="runs/train_parity")
     ap.add_argument("--out", default="results/train_parity.json")
+    ap.add_argument("--variants",
+                    default="f32,bf16,f32_rbg,bf16_rbg_mubf16")
     args = ap.parse_args()
 
     import jax
@@ -59,11 +69,29 @@ def main():
         ds.save(path)
         log(f"corpus in {time.time()-t0:.0f}s")
 
+    variants = tuple(args.variants.split(","))
     out = {"config": f"BS{args.num_tx}", "packets": ds.num_packets,
            "epochs": args.epochs, "runs": {}}
-    for prec in ("f32", "bf16"):
-        tcfg = TrainConfig(epochs=args.epochs, seed=0, steps_per_call=16,
-                           matmul_dtype=prec)
+    # merge an existing artifact so already-finished variants survive a
+    # re-run with a wider variant list
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if (prev.get("packets") == out["packets"]
+                    and prev.get("epochs") == out["epochs"]):
+                out["runs"].update(prev.get("runs", {}))
+        except Exception:
+            pass
+    for prec in variants:
+        if prec in out["runs"]:
+            log(f"{prec}: already in artifact, skipping")
+            continue
+        tcfg = TrainConfig(
+            epochs=args.epochs, seed=0, steps_per_call=16,
+            matmul_dtype=prec.split("_")[0],
+            awgn_rng=("rbg" if "_rbg" in prec else "threefry"),
+            opt_dtype=("bf16" if "_mubf16" in prec else "f32"))
         t0 = time.time()
         res = fit(cfg, tcfg, ds, workdir=os.path.join(args.workdir, prec),
                   resume=True)
@@ -76,16 +104,27 @@ def main():
         }
         log(f"{prec}: best val {res.best_val.tolist()} "
             f"({res.epochs_ran} epochs, {dt:.0f}s)")
+        # write incrementally so an interrupted chain keeps finished runs
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
 
     f32 = np.asarray(out["runs"]["f32"]["best_val_mse"])
-    b16 = np.asarray(out["runs"]["bf16"]["best_val_mse"])
-    out["val_mse_ratio_bf16_over_f32"] = [float(r) for r in (b16 / f32)]
-    out["parity_db"] = [float(10 * np.log10(r)) for r in (b16 / f32)]
+    out["parity_db"] = {}
+    for prec, run in out["runs"].items():
+        if prec == "f32":
+            continue
+        r = np.asarray(run["best_val_mse"]) / f32
+        out["parity_db"][prec] = [float(10 * np.log10(v)) for v in r]
+    # backwards-compat field (round-3 consumers)
+    if "bf16" in out["runs"]:
+        b16 = np.asarray(out["runs"]["bf16"]["best_val_mse"])
+        out["val_mse_ratio_bf16_over_f32"] = [
+            float(r) for r in (b16 / f32)]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
-    log(f"parity (bf16 vs f32, dB per plane): {out['parity_db']} "
-        f"-> {args.out}")
+    log(f"parity vs f32 (dB per plane): {out['parity_db']} -> {args.out}")
 
 
 if __name__ == "__main__":
