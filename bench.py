@@ -12,7 +12,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mamimo_tpu.bench import run_bench, run_train_bench  # noqa: E402
+from mamimo_tpu.bench import (  # noqa: E402
+    run_bench,
+    run_gen_bench,
+    run_train_bench,
+)
 
 if __name__ == "__main__":
     iters = int(os.environ.get("BENCH_ITERS", "20"))
@@ -21,6 +25,10 @@ if __name__ == "__main__":
         # training throughput (steps/s, achieved TFLOP/s); the headline
         # inference metric stays the default single JSON line
         run_train_bench(repo_root=root)
+        sys.exit(0)
+    if "--gen" in sys.argv:
+        # dataset-generation throughput (packets/s, three modes)
+        run_gen_bench(repo_root=root)
         sys.exit(0)
     if os.environ.get("BENCH_BATCH"):
         batches = [int(os.environ["BENCH_BATCH"])]

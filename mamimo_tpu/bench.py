@@ -648,6 +648,72 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
     return out
 
 
+def run_gen_bench(num_packets: int = 512, chunk: int = 64,
+                  repo_root: str | None = None,
+                  print_result: bool = True) -> dict:
+    """Dataset-generation throughput: packets/s for the on-device
+    sounding pipeline (the reference's M1 hot loop,
+    generate_maMIMO_LTF.m:197-366, which it runs one packet per MATLAB
+    iteration across `screen` processes).
+
+    Three modes, each a complete generate_dataset call INCLUDING the
+    device→host fetch of the corpus (the reference likewise pays the
+    .mat write): sounding-only ('ls'), +LMMSE labels ('lmmse'), and the
+    full isOnlyCSI=false data-transmission leg ('with_ber',
+    generate_maMIMO_LTF.m:403-640). First call compiles (cached);
+    the reported number times a second full call.
+    """
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(root, ".jax_cache"))
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mamimo_tpu.config import SimConfig
+    from mamimo_tpu.pipeline.dataset import generate_dataset
+
+    cfg = SimConfig(num_tx=int(os.environ.get("BENCH_NT", "32")),
+                    num_rx=int(os.environ.get("BENCH_NR", "4")))
+    modes = {
+        "ls": dict(),
+        "lmmse": dict(with_mmse=True),
+        "with_ber": dict(with_ber=True),
+    }
+    results = {}
+    for name, kw in modes.items():
+        # warm: compile the chunked programs (persistent-cached)
+        generate_dataset(cfg, seed=1, num_packets=2 * chunk,
+                         snr_db=0.0, chunk=chunk, **kw)
+        t0 = time.perf_counter()
+        ds = generate_dataset(cfg, seed=2, num_packets=num_packets,
+                              snr_db=0.0, chunk=chunk, **kw)
+        dt = time.perf_counter() - t0
+        assert ds.num_packets == num_packets
+        results[name] = {
+            "wall_s": round(dt, 3),
+            "packets_per_s": round(num_packets / dt, 2),
+            "estimates_per_s": round(
+                num_packets * cfg.num_tx * cfg.num_rx / dt, 1),
+        }
+    out = {
+        "metric": "gen_packets_per_s",
+        "value": results["ls"]["packets_per_s"],
+        "unit": "packets/s",
+        "extra": {"device": str(jax.devices()[0]),
+                  "num_packets": num_packets, "chunk": chunk,
+                  "config": f"BS{cfg.num_tx}", "modes": results},
+    }
+    if print_result:
+        print(json.dumps(out))
+    return out
+
+
 def run_bench(batch_packets: int = 64, iters: int = 20,
               profile_dir: str = "", repo_root: str | None = None,
               print_result: bool = True) -> dict:

@@ -86,6 +86,18 @@ def main():
         print(f"[probe] {name}: {dt*1e3:.2f} ms/call "
               f"({dt/n_est:.3e} s/est, setup {time.time()-t0:.0f}s)",
               flush=True)
+    # CG accuracy bound on the same batch (max |cg − direct| over all
+    # estimates; both computed on-device, fetched as the scalar max —
+    # complex arrays never cross the host boundary)
+    @jax.jit
+    def _acc(c, t, s, r):
+        h = ls_estimate_matmul(cfg, r, c)
+        d = (lmmse_estimate_cg(cfg, h, t, s)
+             - lmmse_estimate_direct(cfg, h, t, s))
+        return jnp.max(jnp.abs(d))
+    out["cg_max_abs_err"] = float(_acc(lsc, tau_b, snr, rx))
+    print(f"[probe] cg max|err| vs direct: {out['cg_max_abs_err']:.2e}",
+          flush=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[probe] wrote {args.out}", flush=True)

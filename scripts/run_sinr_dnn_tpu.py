@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""DNN under structured interference (VERDICT r3 missing #1).
+
+The reference's SINR generator (generate_maMIMO_LTF_SINR.m:225-251)
+exists to feed the SAME DNN pipeline as the AWGN generator — but the
+round-3 SINR artifact evaluated only ls/lmmse/perfect. This runner
+closes that: on the sweep's own user placement it trains
+
+  * 'dnn'       — the reference recipe: noiseless corpus + on-the-fly
+                  AWGN augmentation (massiveMIMO_CSI_prediction_DNN.py
+                  :86-102,191-193);
+  * 'dnn_sinr'  — a model trained directly on sinr-mode data at the
+                  reference's hard-coded −55 dBm interference: inputs
+                  carry real interference+noise, labels are the
+                  noiseless oracle (h_perfect), no AWGN layer;
+
+then refreshes results/sinr_sweep.json with NMSE + closed-loop rows for
+both models at every interference level. All stages are resumable
+(corpus .npz + fit(resume=True) checkpoints).
+
+Usage: nohup python scripts/run_sinr_dnn_tpu.py > results/sinr_dnn.log &
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--packets", type=int, default=500)
+    ap.add_argument("--cl-packets", type=int, default=100)
+    ap.add_argument("--train-packets", type=int, default=1500)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--interference", type=float, nargs="+",
+                    default=[-75.0, -65.0, -55.0, -45.0])
+    ap.add_argument("--train-interference", type=float, default=-55.0)
+    ap.add_argument("--seed", type=int, default=11,
+                    help="sweep seed (11 = the round-3 artifact's "
+                         "placement; training corpora share the "
+                         "scenario but draw packets from seed+1089/1090)")
+    ap.add_argument("--chunk", type=int, default=25)
+    ap.add_argument("--workdir", default="runs/sinr_dnn")
+    ap.add_argument("--out", default="results/sinr_sweep.json")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    from mamimo_tpu.config import SimConfig, TrainConfig
+    from mamimo_tpu.channel.scattering import make_scenario
+    from mamimo_tpu.eval.closed_loop import evaluate_closed_loop
+    from mamimo_tpu.eval.snr_sweep import compute_ci
+    from mamimo_tpu.ops.metrics import nmse_subk
+    from mamimo_tpu.pipeline.dataset import CSIDataset, generate_dataset
+    from mamimo_tpu.train import fit
+    from mamimo_tpu.train.loop import evaluate_dataset
+    from mamimo_tpu.utils.numerics import put_complex
+
+    cfg = SimConfig()
+    # the sweep's placement: generate_dataset(seed) derives the scenario
+    # from split(PRNGKey(seed))[0] — reproduce it so the models train on
+    # the channel statistics of the placement they will serve
+    key_scen, _ = jax.random.split(jax.random.PRNGKey(args.seed))
+    scen = make_scenario(cfg, key_scen)
+
+    models = {}
+    for name in ("awgn", "sinr"):
+        udir = os.path.join(args.workdir, name)
+        os.makedirs(udir, exist_ok=True)
+        train_path = os.path.join(udir, "train.npz")
+        if os.path.exists(train_path):
+            ds = CSIDataset.load(train_path)
+            log(f"{name}: loaded corpus ({ds.num_packets} pkts)")
+        else:
+            t0 = time.time()
+            if name == "awgn":
+                log(f"awgn: generating {args.train_packets} noiseless "
+                    "pkts...")
+                ds = generate_dataset(
+                    cfg, seed=args.seed + 1089,
+                    num_packets=args.train_packets, snr_db=120.0,
+                    chunk=args.chunk, scenario=scen)
+            else:
+                log(f"sinr: generating {args.train_packets} sinr-mode "
+                    f"pkts @ {args.train_interference} dBm...")
+                ds = generate_dataset(
+                    cfg, seed=args.seed + 1090,
+                    num_packets=args.train_packets, snr_db=0.0,
+                    noise_mode="sinr", chunk=args.chunk, scenario=scen,
+                    interference_dbm=args.train_interference)
+                # denoiser-on-interference training pair: noisy rx in,
+                # noiseless oracle labels out (the AWGN path gets the
+                # same pairing implicitly: noiseless rx + in-jit noise)
+                ds = dataclasses.replace(ds, h_ls=ds.h_perfect)
+            ds.save(train_path)
+            log(f"{name}: corpus in {time.time()-t0:.0f}s")
+        # 'sinr' model: interference is IN the inputs already — disable
+        # the AWGN augmentation layer (method='default')
+        tcfg = TrainConfig(epochs=args.epochs, seed=0, steps_per_call=16,
+                           method=("default_snr" if name == "awgn"
+                                   else "default"))
+        t0 = time.time()
+        res = fit(cfg, tcfg, ds, workdir=udir, resume=True)
+        log(f"{name}: trained {res.epochs_ran} epochs in "
+            f"{time.time()-t0:.0f}s, best val {res.best_val.tolist()}")
+        models[name] = (tcfg, res.params, res.bn_state)
+
+    t_all = time.time()
+    out = {"config": "BS32", "noise_floor_dbm": -85.0,
+           "packets": args.packets, "cl_packets": args.cl_packets,
+           "interference_dbm": args.interference,
+           "train": {"packets": args.train_packets,
+                     "epochs": args.epochs,
+                     "train_interference_dbm": args.train_interference},
+           "levels": []}
+    for intf in args.interference:
+        ds = generate_dataset(
+            cfg, seed=args.seed, num_packets=args.packets, snr_db=0.0,
+            noise_mode="sinr", with_mmse=True, chunk=args.chunk,
+            interference_dbm=intf)
+        ref = put_complex(ds.h_perfect)
+        nm = {"ls": np.asarray(nmse_subk(ref, put_complex(ds.h_ls))),
+              "lmmse": np.asarray(nmse_subk(ref, put_complex(ds.h_mmse)))}
+        preds = {}
+        for name, (tcfg, p, bn) in models.items():
+            pred, _ = evaluate_dataset(cfg, tcfg, p, bn, ds)
+            preds[name] = pred
+            key = "dnn" if name == "awgn" else "dnn_sinr"
+            nm[key] = np.asarray(nmse_subk(ref, put_complex(pred)))
+        cl = evaluate_closed_loop(
+            ds, predictions=preds["awgn"],
+            sources=("ls", "lmmse", "dnn", "perfect"),
+            max_packets=args.cl_packets)
+        cl2 = evaluate_closed_loop(
+            ds, predictions=preds["sinr"], sources=("dnn",),
+            max_packets=args.cl_packets)
+        cl_sum = {k: m.summary() for k, m in cl.items()}
+        cl_sum["dnn_sinr"] = cl2["dnn"].summary()
+        lvl = {
+            "interference_dbm": intf,
+            "mean_sinr_db": float(np.mean(ds.snr_cs)),
+            "nmse_db": {k: float(10 * np.log10(np.mean(v) + 1e-30))
+                        for k, v in nm.items()},
+            "nmse_ci": {k: list(compute_ci(v)) for k, v in nm.items()},
+            "closed_loop": cl_sum,
+        }
+        out["levels"].append(lvl)
+        log(f"I={intf} dBm: SINR {lvl['mean_sinr_db']:.1f} dB, "
+            f"LS {lvl['nmse_db']['ls']:.2f}, "
+            f"LMMSE {lvl['nmse_db']['lmmse']:.2f}, "
+            f"DNN {lvl['nmse_db']['dnn']:.2f}, "
+            f"DNN-sinr {lvl['nmse_db']['dnn_sinr']:.2f} dB | "
+            f"BER ls {cl_sum['ls']['ber']:.4f} "
+            f"dnn {cl_sum['dnn']['ber']:.4f} "
+            f"dnn_sinr {cl_sum['dnn_sinr']['ber']:.4f}")
+        # incremental write: an interrupted sweep keeps finished levels
+        out["wall_s"] = round(time.time() - t_all, 1)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    log(f"done in {out['wall_s']}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
