@@ -67,6 +67,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    if hasattr(lib, "dl_gather_packets"):
+        lib.dl_gather_packets.restype = ctypes.c_int
+        lib.dl_gather_packets.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
     lib.dl_prefetch.restype = ctypes.c_int
     lib.dl_prefetch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -164,6 +171,39 @@ class NativeBatchLoader:
         sig[:, 1] = np.imag(s)
         y[:, 0] = np.real(lab)
         y[:, 1] = np.imag(lab)
+        return sig, y
+
+    def gather_packets(
+            self, pkts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole-packet plane gather — the window-streaming IO path:
+        pkts (n,) int64 -> (rx planes (2, n, L, R) f32,
+        h planes (2, n, C, T, R) f32). Ships each packet's preamble
+        ONCE (a per-sample stream ships it T times per epoch — see
+        dataloader.cpp::dl_gather_packets)."""
+        pkts = np.ascontiguousarray(pkts, np.int64)
+        n = len(pkts)
+        sig = np.empty((2, n, self.L, self.R), np.float32)
+        y = np.empty((2, n, self.C, self.T, self.R), np.float32)
+        if (self._handle is not None
+                and hasattr(self._lib, "dl_gather_packets")):
+            rc = self._lib.dl_gather_packets(
+                self._handle,
+                pkts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n,
+                sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.n_threads,
+            )
+            if rc != 0:
+                raise IndexError(f"dl_gather_packets failed ({rc})")
+            return sig, y
+        if self._np is None:
+            self._open_numpy()
+        rx, h = self._np
+        s = rx[pkts]
+        lab = h[pkts]
+        sig[0], sig[1] = np.real(s), np.imag(s)
+        y[0], y[1] = np.real(lab), np.imag(lab)
         return sig, y
 
     def prefetch(self, idx: np.ndarray) -> None:

@@ -317,6 +317,7 @@ def fit(
     verbose: bool = True,
     resume: bool = False,
     host_stream: bool = False,
+    stream_window_packets: Optional[int] = None,
     mesh=None,
 ) -> TrainResult:
     """Train the stacked real/imag CSI MLP. Returns best-restored params.
@@ -332,6 +333,21 @@ def fit(
     combines with it (native-loader batches device_put pre-sharded on
     the data axis — the larger-than-HBM corpus never needs a full
     device replica).
+
+    stream_window_packets (host_stream only, single-chip): WINDOW
+    streaming — per epoch the PACKET order is shuffled, windows of N
+    packets are shipped to the device once (planes via the native
+    packet gather, dl_gather_packets), and batches are assembled from
+    the device-resident window by in-jit sample gathers with
+    window-local shuffling. A per-SAMPLE stream ships each (packet, rx)
+    preamble num_tx times per epoch — the exact T-fold input blowup the
+    reference's LTF hash-dedup exists to avoid
+    (create_massiveMIMO_CSIest_dnn_dataset.py:52-67); windows move the
+    corpus bytes once. Shuffle semantics are two-level
+    (packet-level global + sample-level within the window — the
+    standard shuffle-buffer compromise); per-window ragged batch tails
+    are dropped (< bs samples per window per epoch). Requires
+    val_ds=None and (window·T·R) % batch_size == 0.
     """
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
@@ -503,6 +519,119 @@ def fit(
                                            jnp.asarray(idx_np))
 
         val_multi = None
+    elif host_stream and stream_window_packets:
+        # WINDOW streaming (see docstring): ship packets once, expand
+        # to samples on device via the same in-jit gather the in-HBM
+        # path uses — the window is just a small resident `data` dict.
+        assert val_ds is None, "window streaming uses the tail val split"
+        per_pkt_w = cfg.num_tx * cfg.num_rx
+        n_pkts = train_ds.num_packets
+        n_train_pkts = len(train_idx) // per_pkt_w
+        P_w = min(int(stream_window_packets), n_train_pkts)
+        bs_w = tcfg.batch_size
+        assert (P_w * per_pkt_w) % bs_w == 0, (
+            "window samples must be a batch multiple so batches never "
+            f"straddle windows ({P_w}*{per_pkt_w} % {bs_w})")
+        update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def _wstep(data, params, bn_state, opt_state, idx, key, lr):
+            x2, pilot, y2 = _gather_batch(cfg, data, idx)
+            return update(params, bn_state, opt_state, x2, pilot, y2,
+                          key, lr)
+
+        @jax.jit
+        def _weval(data, params, bn_state, idx):
+            x2, pilot, y2 = _gather_batch(cfg, data, idx)
+            return eval_core(params, bn_state, x2, pilot, y2)
+
+        @jax.jit
+        def _to_cplx(sig, y):
+            return (jax.lax.complex(sig[0], sig[1]),
+                    jax.lax.complex(y[0], y[1]))
+
+        P_dev = jnp.asarray(train_ds.pilot_matrix(), jnp.float32)
+        pos = np.full(n_pkts, -1, np.int64)   # packet -> window row
+        wst = {"data": None}
+        win_sched = {"train": [], "val": []}
+
+        def _load_window(pkts):
+            pad = P_w - len(pkts)
+            pk = (np.concatenate([pkts, np.repeat(pkts[:1], pad)])
+                  if pad > 0 else pkts)
+            sig, y = loader.gather_packets(pk)
+            rxc, hc = _to_cplx(jnp.asarray(sig), jnp.asarray(y))
+            pos[:] = -1
+            pos[pk] = np.arange(P_w)
+            wst["data"] = {"rx": rxc, "h": hc, "P": P_dev}
+
+        def _ensure(idx_np, which):
+            p = idx_np // per_pkt_w
+            if wst["data"] is not None and not np.any(pos[p] < 0):
+                return
+            dq = win_sched[which]
+            if not dq and which == "val":
+                vp = np.arange(n_train_pkts, n_pkts)
+                dq.extend(vp[k:k + P_w]
+                          for k in range(0, len(vp), P_w))
+            while dq:
+                _load_window(dq.pop(0))
+                if not np.any(pos[p] < 0):
+                    return
+            raise RuntimeError(
+                "window schedule out of sync with the batch order")
+
+        def _localize(idx_np):
+            p = idx_np // per_pkt_w
+            return pos[p] * per_pkt_w + idx_np % per_pkt_w
+
+        def make_perm():
+            """Two-level shuffle: packet order globally, samples within
+            each window; per-window ragged batch tails dropped."""
+            win_sched["train"].clear()
+            pkt_perm = rng_host.permutation(n_train_pkts)
+            parts = []
+            for k in range(0, n_train_pkts, P_w):
+                w = pkt_perm[k:k + P_w]
+                win_sched["train"].append(w)
+                s = (w[:, None] * per_pkt_w
+                     + np.arange(per_pkt_w)[None, :]).ravel()
+                s = s[rng_host.permutation(len(s))]
+                parts.append(s[: (len(s) // bs_w) * bs_w])
+            return np.concatenate(parts)
+
+        steps_w = sum((min(P_w, n_train_pkts - k) * per_pkt_w) // bs_w
+                      for k in range(0, n_train_pkts, P_w))
+        # window-aligned sequential val pass (tail split), ragged
+        # window tails dropped symmetrically
+        vparts = []
+        for k in range(n_train_pkts, n_pkts, P_w):
+            vs = np.arange(k * per_pkt_w,
+                           min(k + P_w, n_pkts) * per_pkt_w)
+            vparts.append(vs[: (len(vs) // bs_w) * bs_w])
+        if vparts:
+            val_idx = np.concatenate(vparts)
+            if len(val_idx) == 0:
+                # val smaller than one batch: a single short batch from
+                # the first (only) val window
+                val_idx = np.arange(
+                    n_train_pkts * per_pkt_w,
+                    min(n_train_pkts + P_w, n_pkts) * per_pkt_w)
+
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                      idx_next=None):
+            _ensure(idx_np, "train")
+            li = _localize(idx_np)
+            return _wstep(wst["data"], params, bn_state, opt_state,
+                          jnp.asarray(li), kstep, lr)
+
+        def run_val(params, bn_state, idx_np):
+            _ensure(idx_np, "val")
+            li = _localize(idx_np)
+            return _weval(wst["data"], params, bn_state,
+                          jnp.asarray(li))
+
+        val_multi = None
     elif host_stream:
         arr_train_step, arr_eval_step = make_array_train_step(
             cfg, tcfg, avg_sig_pow, opt)
@@ -562,6 +691,10 @@ def fit(
     bs = tcfg.batch_size
     steps_per_epoch = max(1, len(train_idx) // bs)
     val_steps = max(1, len(val_idx) // bs)
+    windowed = (host_stream and stream_window_packets and mesh is None)
+    if windowed:
+        steps_per_epoch = steps_w
+        val_steps = max(1, len(val_idx) // bs)
 
     min_lr = tcfg.lr * tcfg.min_lr_factor
     best_val = np.asarray(resumed_extra.get("best_val", [np.inf, np.inf]),
@@ -589,10 +722,16 @@ def fit(
             for k in history:
                 history[k] = list(prev.get(k, []))[:start_epoch]
     rng_host = np.random.default_rng(tcfg.seed)
+
+    def _next_perm():
+        if windowed:
+            return make_perm()
+        return rng_host.permutation(len(train_idx))
+
     # fast-forward the shuffle stream past the epochs already run so a
     # resumed run continues the uninterrupted run's batch sequence
     for _ in range(start_epoch):
-        rng_host.permutation(len(train_idx))
+        _next_perm()
     epochs_ran = 0
 
     # fuse K optimizer steps per dispatch on the standard path
@@ -601,7 +740,7 @@ def fit(
 
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
-        perm = rng_host.permutation(len(train_idx))
+        perm = _next_perm()
         ep_loss = np.zeros(2)
         n_done = 0
         s = 0

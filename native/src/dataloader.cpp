@@ -172,6 +172,57 @@ int dl_gather(void* handle, const int64_t* idx, int64_t n, float* sig_out,
   return 0;
 }
 
+// Gather WHOLE PACKETS as plane tensors — the window-streaming IO path.
+//
+// Rationale (mirrors the reference's LTF hash-dedup,
+// create_massiveMIMO_CSIest_dnn_dataset.py:52-67): a per-SAMPLE stream
+// ships each (packet, rx-antenna) preamble T times per epoch (once per
+// Tx sample) — a T-fold bandwidth blowup that makes larger-than-memory
+// epochs infeasible over slow host→device links. Shipping packets once
+// and expanding to samples on device (in-jit gather) moves exactly the
+// corpus bytes per epoch.
+//
+//   sig_out: 2 * n * L * R float32  — planes of rx[pkts]   (2, n, L, R)
+//   y_out:   2 * n * C * T * R f32  — planes of h_ls[pkts]  (2, n, C, T, R)
+int dl_gather_packets(void* handle, const int64_t* pkts, int64_t n,
+                      float* sig_out, float* y_out, int n_threads) {
+  if (!handle || n <= 0) return -1;
+  auto* h = static_cast<Handle*>(handle);
+  for (int64_t i = 0; i < n; ++i) {
+    if (pkts[i] < 0 || pkts[i] >= h->B) return -2;
+  }
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = int(n);
+  const size_t rx_pkt = size_t(h->L) * h->R;        // complex elems/packet
+  const size_t h_pkt = size_t(h->C) * h->T * h->R;
+  const size_t sig_plane = size_t(n) * rx_pkt;      // floats per plane
+  const size_t y_plane = size_t(n) * h_pkt;
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int w = 0; w < n_threads; ++w) {
+    workers.emplace_back([=]() {
+      for (int64_t i = w; i < n; i += n_threads) {
+        const float* rx = h->rx + size_t(pkts[i]) * rx_pkt * 2;
+        float* sr = sig_out + size_t(i) * rx_pkt;
+        float* si = sig_out + sig_plane + size_t(i) * rx_pkt;
+        for (size_t e = 0; e < rx_pkt; ++e) {
+          sr[e] = rx[2 * e];
+          si[e] = rx[2 * e + 1];
+        }
+        const float* hh = h->h + size_t(pkts[i]) * h_pkt * 2;
+        float* yr = y_out + size_t(i) * h_pkt;
+        float* yi = y_out + y_plane + size_t(i) * h_pkt;
+        for (size_t e = 0; e < h_pkt; ++e) {
+          yr[e] = hh[2 * e];
+          yi[e] = hh[2 * e + 1];
+        }
+      }
+    });
+  }
+  for (auto& t : workers) t.join();
+  return 0;
+}
+
 // Start an async gather into the internal double buffer. One prefetch
 // may be in flight per handle; callers alternate prefetch/wait to
 // overlap the host-side gather of batch k+1 with device compute on
