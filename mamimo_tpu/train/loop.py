@@ -174,6 +174,18 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
     pmask = _plane_mask(tcfg)
 
+    def _store_cast(x2, pilot):
+        """bf16 path: materialize the batch in bf16 AT THE GATHER, not
+        per-use — the (2, bs, 10240) signal tensor is read by fwd AND
+        the dW1 backward matmul, so f32 storage pays 4 full-size HBM
+        passes the matmuls immediately re-quantize anyway. Values are
+        identical to the per-use cast (same quantization point, gated
+        by the same train-parity artifact); only bytes change."""
+        if tcfg.matmul_dtype == "bf16":
+            return (x2.astype(jnp.bfloat16),
+                    pilot.astype(jnp.bfloat16))
+        return x2, pilot
+
     def loss_fn(params, bn_state, x2, pilot, y2, rng):
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
         pred, new_bn = stacked_apply(
@@ -204,6 +216,7 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
             k_drop = key
         if constrain is not None:
             x2, pilot, y2 = constrain(x2, pilot, y2)
+        x2, pilot = _store_cast(x2, pilot)
         (_, (per_dim, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, bn_state, x2, pilot, y2, k_drop)
@@ -221,6 +234,7 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
             # propagate replicated and run the whole batch on every
             # device (no DP speedup on the validation pass)
             x2, pilot, y2 = constrain(x2, pilot, y2)
+        x2, pilot = _store_cast(x2, pilot)
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
         pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
         return jnp.mean((pred - y2) ** 2, axis=(1, 2))

@@ -79,3 +79,44 @@ def test_cli_mu_sweep_with_dnn(tmp_path):
     out = json.load(open(f"{d}/musweep/mu_sweep.json"))
     assert set(out["sources"]) == {"ls", "lmmse", "dnn", "perfect"}
     assert len(out["sources"]["dnn"]["ber"][0]) == 2   # per-user values
+
+
+def test_cli_mu_modeldir_validation(tmp_path):
+    """The per-user checkpoint consistency gates (ADVICE r3): missing
+    u1 sidecar and dimension-mismatched checkpoints fail with clear
+    SystemExit messages instead of opaque stack errors."""
+    import pytest
+
+    import jax
+
+    from mamimo_tpu.config import SimConfig, TrainConfig
+    from mamimo_tpu.models.mlp import init_stacked
+    from mamimo_tpu.train.ckpt import save_checkpoint
+
+    d = str(tmp_path)
+    cfg_ok = SimConfig(num_users=2, num_tx=8, num_rx=2, n_scatterers=12)
+    cfg_bad = SimConfig(num_users=2, num_tx=4, num_rx=2, n_scatterers=12)
+    tcfg = TrainConfig(hidden=(16, 16))
+    args = ["sweep", "--num-tx", "8", "--num-rx", "2", "--scatterers",
+            "12", "--num-users", "2", "--seed", "3", "--snr", "0",
+            "--packets", "2", "--chunk", "2", "-o", f"{d}/out"]
+
+    # u0 only -> missing-u1 error names the expected path
+    p, b = init_stacked(jax.random.PRNGKey(0), cfg_ok, tcfg)
+    save_checkpoint(f"{d}/m1/u0/best", cfg_ok, tcfg, p, b)
+    with pytest.raises(SystemExit, match="u1/best.json"):
+        main(args + ["--modeldir", f"{d}/m1"])
+
+    # u1 trained at the wrong num_tx -> dimension gate
+    save_checkpoint(f"{d}/m2/u0/best", cfg_ok, tcfg, p, b)
+    pb, bb = init_stacked(jax.random.PRNGKey(0), cfg_bad, tcfg)
+    save_checkpoint(f"{d}/m2/u1/best", cfg_bad, tcfg, pb, bb)
+    with pytest.raises(SystemExit, match="num_tx"):
+        main(args + ["--modeldir", f"{d}/m2"])
+
+    # u1 with a different TrainConfig -> tcfg gate
+    save_checkpoint(f"{d}/m3/u0/best", cfg_ok, tcfg, p, b)
+    save_checkpoint(f"{d}/m3/u1/best", cfg_ok,
+                    TrainConfig(hidden=(16, 16), dropout=0.5), p, b)
+    with pytest.raises(SystemExit, match="TrainConfig"):
+        main(args + ["--modeldir", f"{d}/m3"])
