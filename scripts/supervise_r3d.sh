@@ -33,8 +33,10 @@ except Exception:
 EOF
 }
 
-have_train_bench() { grep -q train_step_tflops results/chain_r3d.log 2>/dev/null \
-                     || grep -q train_step_tflops results/train_bench_r3.log 2>/dev/null; }
+# gate on the round-specific artifact ONLY: the committed cumulative
+# chain log ships with the repo, so grepping it would let any earlier
+# round's marker permanently satisfy the check (ADVICE r3)
+have_train_bench() { grep -q train_step_tflops results/train_bench_r3.log 2>/dev/null; }
 
 guard() {
   [ "$(date +%s)" -gt "$DEADLINE" ] && { echo "deadline reached"; exit 0; }
