@@ -48,11 +48,27 @@ class TrainResult(NamedTuple):
 
 
 def _device_data(ds: CSIDataset):
-    from mamimo_tpu.utils.numerics import put_complex
+    """Device training container in GATHER-FRIENDLY planes layouts:
 
+      rxp: (2, B, R, L) float32 — a sample's signal is a contiguous
+           L-run; the round-3 complex (B, L, R) layout gathered each
+           sample at stride R (and split real/imag per step);
+      hp:  (2, B, R, T, C) float32 — label rows contiguous over C (the
+           (B, C, T, R) layout read labels at stride T·R).
+
+    Same bytes as the complex container; the per-step gather becomes
+    two contiguous-row gathers and the real/imag split disappears from
+    the hot loop.
+    """
+    rxp = np.ascontiguousarray(
+        np.stack([np.real(ds.rx), np.imag(ds.rx)])
+        .transpose(0, 1, 3, 2), dtype=np.float32)      # (2, B, R, L)
+    hp = np.ascontiguousarray(
+        np.stack([np.real(ds.h_ls), np.imag(ds.h_ls)])
+        .transpose(0, 1, 4, 3, 2), dtype=np.float32)   # (2, B, R, T, C)
     return {
-        "rx": put_complex(ds.rx),                   # (B, L, R) complex64
-        "h": put_complex(ds.h_ls),                  # (B, C, T, R) complex64
+        "rxp": jnp.asarray(rxp),
+        "hp": jnp.asarray(hp),
         "P": jnp.asarray(ds.pilot_matrix(), jnp.float32),  # (T, T)
     }
 
@@ -68,11 +84,9 @@ def _gather_batch(cfg: SimConfig, data, idx):
     rem = idx % per_pkt
     r = rem // cfg.num_tx
     t = rem % cfg.num_tx
-    sig = data["rx"][p, :, r]                        # (bs, L) complex
+    x2 = data["rxp"][:, p, r, :]                     # (2, bs, L)
     pilot = data["P"].T[t]                           # (bs, T)
-    y = data["h"][p, :, t, r]                        # (bs, C) complex
-    x2 = jnp.stack([jnp.real(sig), jnp.imag(sig)])   # (2, bs, L)
-    y2 = jnp.stack([jnp.real(y), jnp.imag(y)])       # (2, bs, C)
+    y2 = data["hp"][:, p, r, t, :]                   # (2, bs, C)
     return x2, pilot, y2
 
 
@@ -560,9 +574,11 @@ def fit(
             return eval_core(params, bn_state, x2, pilot, y2)
 
         @jax.jit
-        def _to_cplx(sig, y):
-            return (jax.lax.complex(sig[0], sig[1]),
-                    jax.lax.complex(y[0], y[1]))
+        def _relayout(sig, y):
+            # native packet planes -> the gather-friendly container
+            # layouts of _device_data (one device transpose per window)
+            return (jnp.transpose(sig, (0, 1, 3, 2)),      # (2,n,R,L)
+                    jnp.transpose(y, (0, 1, 4, 3, 2)))     # (2,n,R,T,C)
 
         P_dev = jnp.asarray(train_ds.pilot_matrix(), jnp.float32)
         pos = np.full(n_pkts, -1, np.int64)   # packet -> window row
@@ -574,10 +590,10 @@ def fit(
             pk = (np.concatenate([pkts, np.repeat(pkts[:1], pad)])
                   if pad > 0 else pkts)
             sig, y = loader.gather_packets(pk)
-            rxc, hc = _to_cplx(jnp.asarray(sig), jnp.asarray(y))
+            rxp, hp = _relayout(jnp.asarray(sig), jnp.asarray(y))
             pos[:] = -1
             pos[pk] = np.arange(P_w)
-            wst["data"] = {"rx": rxc, "h": hc, "P": P_dev}
+            wst["data"] = {"rxp": rxp, "hp": hp, "P": P_dev}
 
         def _ensure(idx_np, which):
             p = idx_np // per_pkt_w
