@@ -495,12 +495,22 @@ def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
     fwd = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))   # (C, M)
     inv = jnp.swapaxes(jnp.conj(fwd), 0, 1) / m          # (M, C)
 
+    # the DFT applies MUST run at full f32 matmul precision: under the
+    # TPU's DEFAULT precision (single-pass bf16 MXU) each matvec
+    # quantizes at ~1e-2 relative and the iteration stalls there —
+    # measured max|err| 0.78 on unit-ish inputs vs 1.3e-4 at f32
+    # (results/probe_lmmse_cg_r4.json, round-4 fix). HIGHEST costs 3
+    # extra MXU passes on these small (·, 512) dots, a minor share of
+    # the call.
+    def dot(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
     def matvec(v):
-        w = ((v @ fwd) * ce) @ inv
+        w = dot(dot(v, fwd) * ce, inv)
         return w + sig2 * v
 
     def precond(r):
-        return ((r @ fwd) / pe) @ inv
+        return dot(dot(r, fwd) / pe, inv)
 
     def rdot(u, v):
         return jnp.sum(jnp.conj(u) * v, axis=-1,

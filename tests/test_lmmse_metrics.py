@@ -250,3 +250,30 @@ def test_lmmse_direct_matches_dense(cfg):
     a = np.asarray(lmmse_estimate(cfg, h, tau, snr))
     b = np.asarray(lmmse_estimate_direct(cfg, h, tau, snr))
     assert np.max(np.abs(a - b)) / np.max(np.abs(a)) < 1e-3
+
+
+def test_lmmse_cg_default_matmul_precision(cfg):
+    """The CG form must hold its accuracy under jax's DEFAULT matmul
+    precision too (the conftest forces 'highest' globally; on TPU the
+    default is single-pass-bf16 MXU, which stalled the round-3 CG at
+    ~1e-2 relative until its DFT dots were pinned to HIGHEST —
+    results/probe_lmmse_cg_r4.json). No-op on CPU, the real guard when
+    the suite runs with MAMIMO_TEST_PLATFORM=tpu."""
+    from mamimo_tpu.ops.estimate import (
+        lmmse_estimate_cg,
+        lmmse_estimate_direct,
+    )
+
+    rng = np.random.default_rng(7)
+    n = cfg.num_carriers
+    b = 2
+    tau = rng.uniform(1e-6, 4e-6, (b, cfg.n_scatterers)).astype(np.float32)
+    h_ls = (rng.standard_normal((b, n, 2, 4))
+            + 1j * rng.standard_normal((b, n, 2, 4))).astype(np.complex64)
+    s = rng.uniform(-20.0, 10.0, (b, 4)).astype(np.float32)
+    with jax.default_matmul_precision("default"):
+        ref = np.asarray(lmmse_estimate_direct(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+        got = np.asarray(lmmse_estimate_cg(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+    assert np.abs(got - ref).max() < 2e-3
