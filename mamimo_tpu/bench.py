@@ -701,6 +701,48 @@ def run_gen_bench(num_packets: int = 512, chunk: int = 64,
             "estimates_per_s": round(
                 num_packets * cfg.num_tx * cfg.num_rx / dt, 1),
         }
+
+    # device-only sounding rate: back-to-back async chunk dispatches
+    # with per-chunk fresh keys (no value-cache reuse), one f32 scalar
+    # fetch closing the window — separates the TPU compute rate from
+    # the (tunnel-bound) corpus-fetch pipeline rate above
+    import jax.numpy as jnp
+
+    from mamimo_tpu.channel.scattering import make_scenario
+    from mamimo_tpu.ops.ltf import gen_preamble
+    from mamimo_tpu.pipeline.sounding import sound_packet
+    from mamimo_tpu.utils.numerics import put_complex
+
+    key = jax.random.PRNGKey(0)
+    scen = make_scenario(cfg, key)
+    pre = put_complex(gen_preamble(cfg, cfg.num_tx))
+
+    def one(k, p):
+        res, _ = sound_packet(cfg, k, scen, 0.0, preamble=p)
+        return jnp.sum(res.snr_cs)
+
+    batched = jax.jit(jax.vmap(one, in_axes=(0, None)))
+    n_chunks = max(1, num_packets // chunk)
+
+    def run(seed0):
+        acc = None
+        for i in range(n_chunks):
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(seed0 + i), jnp.arange(chunk))
+            s = batched(keys, pre)
+            acc = s if acc is None else acc + s
+        return float(jnp.sum(acc))
+
+    run(100)                                     # warm/compile
+    t0 = time.perf_counter()
+    run(200)
+    dt = time.perf_counter() - t0
+    results["device_sounding"] = {
+        "wall_s": round(dt, 3),
+        "packets_per_s": round(n_chunks * chunk / dt, 2),
+        "estimates_per_s": round(
+            n_chunks * chunk * cfg.num_tx * cfg.num_rx / dt, 1),
+    }
     out = {
         "metric": "gen_packets_per_s",
         "value": results["ls"]["packets_per_s"],

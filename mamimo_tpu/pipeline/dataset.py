@@ -286,15 +286,26 @@ def generate_dataset(
 
     outs = []
     bers = []
+    pending = None
     for start in range(0, num_packets, chunk):
         n = min(chunk, num_packets - start)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             key_pkts, jnp.arange(start, start + n)
         )
-        # fetch_tree: complex leaves come back as float-plane transfers
-        # (complex host<->device copies are unimplemented on the tunneled
-        # TPU backend)
-        res, ber = fetch_tree(batched(keys, preamble))
+        # double-buffered: dispatch chunk k (async) BEFORE fetching
+        # chunk k-1, so the device computes while the host drains the
+        # previous chunk's arrays — wall becomes max(compute, fetch)
+        # instead of their sum. fetch_tree: complex leaves come back as
+        # float-plane transfers (complex host<->device copies are
+        # unimplemented on the tunneled TPU backend).
+        dev = batched(keys, preamble)
+        if pending is not None:
+            res, ber = fetch_tree(pending)
+            outs.append(res)
+            bers.append(ber)
+        pending = dev
+    if pending is not None:
+        res, ber = fetch_tree(pending)
         outs.append(res)
         bers.append(ber)
 
