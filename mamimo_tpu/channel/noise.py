@@ -98,13 +98,26 @@ def receiver_chain_nf(cfg: SimConfig, key, rx_sig, gain_db, chan_delay):
     noise_db = 10.0 * math.log10(n_var)
 
     sig_pwr = jnp.mean(jnp.abs(rx_sig) ** 2, axis=0)
-    scaled = sig_pwr * (math.sqrt(cfg.used_sc) / cfg.fft_length)
-    snr_db = 10.0 * jnp.log10(scaled) - noise_db
+    # realized SNR = input signal power over input-referred noise power
+    # — the TRUE post-chain SNR (both are amplified together below, so
+    # the ratio survives to the demodulator; LS NMSE ≈ −snr_cs like
+    # every other noise mode). Deliberate deviation: the reference's
+    # printed value scales the signal POWER by the AMPLITUDE factor
+    # sqrt(usedSC)/FFT (generate_maMIMO_LTF.m:287-289), a ~12 dB
+    # bookkeeping slip it flags itself with "TODO: NEED TO DOUBLE
+    # CHECK THIS VALUE" (:293).
+    snr_db = 10.0 * jnp.log10(sig_pwr) - noise_db
 
     z = jax.random.normal(key, rx_sig.shape + (2,))
     noise = (z[..., 0] + 1j * z[..., 1]) * math.sqrt(n_var / 2.0)
     gain_amp = 10.0 ** (gain_db / 20.0)
-    y = gain_amp * rx_sig + noise.astype(jnp.complex64)
+    # phased.ReceiverPreamp refers the thermal noise to the INPUT and
+    # amplifies signal and noise together (y = g·(x + n)) — so the
+    # output SNR equals the input SNR reported above. Round-3 applied
+    # the gain to the signal only, which inflated the realized SNR by
+    # gain_db (~+100 dB: LS NMSE came out −70 dB at a reported −14 dB
+    # SNR in the first measured nf sweep).
+    y = gain_amp * (rx_sig + noise.astype(jnp.complex64))
     y = y * (math.sqrt(cfg.used_sc) / cfg.fft_length)
     return sync_slice(cfg, y, chan_delay), snr_db, jnp.asarray(
         noise_db, jnp.float32)

@@ -82,6 +82,14 @@ def test_nf_noise_mode(small_cfg):
     assert np.all(np.isfinite(np.asarray(res.snr_cs)))
     # thermal-floor SNR at hundreds of meters should be finite and low
     assert np.all(np.asarray(res.snr_cs) < 60.0)
+    # the REALIZED noise must match the reported SNR: preamp noise is
+    # referred to the input and amplified with the signal
+    # (phased.ReceiverPreamp semantics — the round-3 form amplified the
+    # signal only, so h_ls came out ~gain_db too clean), hence the LS
+    # NMSE tracks -snr_cs like every other noise mode
+    snr = float(np.mean(np.asarray(res.snr_cs)))
+    nm = 10 * np.log10(float(nmse_subk(res.h_perfect, res.h_ls)))
+    assert abs(nm - (-snr)) < 3.0, (snr, nm)
 
 
 def test_sinr_mode_scale_contract(small_cfg):
