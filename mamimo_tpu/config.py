@@ -189,14 +189,17 @@ class TrainConfig:
     # stays float32, BN/loss/optimizer stay float32). Gate on the NMSE
     # parity check in PERF.md §Training before enabling for paper runs.
     matmul_dtype: str = "f32"
-    # RNG backend for the per-step AWGN draw: 'threefry' (JAX default,
-    # counter-based, bitwise-stable across backends) or 'rbg' (the
-    # TPU's hardware RngBitGenerator). The AWGN draw is 20.5M normals
-    # per batch-1024 step = 0.86 ms (31%) of the whole train step under
-    # threefry (results/probe_r3d.json); rbg cuts it to ~0. Different
-    # (still deterministic-per-key) random stream — resume contracts
-    # hold within a run; don't flip it mid-experiment.
-    awgn_rng: str = "threefry"
+    # RNG backend for the per-step AWGN draw: 'rbg' (the TPU's hardware
+    # RngBitGenerator — the production default since round 4) or
+    # 'threefry' (JAX default, counter-based, bitwise-stable across
+    # backends). The AWGN draw is 20.5M normals per batch-1024 step =
+    # 0.86 ms (31%) of the whole train step under threefry
+    # (results/probe_r3d.json); rbg cuts it to ~0 and is
+    # convergence-gated at ±0.08 dB of the threefry baseline
+    # (results/train_parity.json, f32_rbg row). Both are deterministic
+    # per key but draw DIFFERENT streams — don't flip mid-experiment;
+    # use 'threefry' to reproduce pre-round-4 trajectories bitwise.
+    awgn_rng: str = "rbg"
     # Adam FIRST-moment (mu) storage dtype: 'f32' | 'bf16'. bf16 mu
     # halves that moment's HBM read+write in the optimizer stage (the
     # train step is HBM-bound at the weight/Adam traffic, PERF.md
