@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Round-4 train-step decomposition at the best-throughput batch size:
+"""Round-4 train-step decomposition at the contending batch sizes:
 per-stage ms for the roofline byte-accounting table (PERF.md
 §Training). Stages measured by ablation on the SAME jitted scan-16
 harness as bench --train:
 
-  full        gather + AWGN(rbg) + fwd/bwd + Adam
-  no_awgn     noise draw removed (method='default')
-  fwd_only    gather + forward + loss (no grad, no Adam)
-  gather_only gather + planes reduction only (the batch-assembly floor)
+  full          gather + AWGN(rbg) + fwd/bwd + Adam
+  full_threefry same with the counter-based RNG
+  no_awgn       noise draw removed (method='default')
+  fwd_only      gather + forward + loss (no grad, no Adam)
+  gather_only   gather + full reductions (the batch-assembly floor)
 
-Writes results/probe_r4_train.json.
+Writes results/probe_r4_train.json, keyed per batch size.
 """
 
 import json
@@ -25,14 +26,12 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, nargs="+", default=[2048, 4096])
     ap.add_argument("--steps-per-call", type=int, default=16)
     ap.add_argument("--calls", type=int, default=10)
     ap.add_argument("--packets", type=int, default=64)
     ap.add_argument("-o", "--out", default="results/probe_r4_train.json")
     args = ap.parse_args()
-
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -50,11 +49,15 @@ def main():
     from mamimo_tpu.config import SimConfig, TrainConfig
     from mamimo_tpu.models.mlp import init_stacked
     from mamimo_tpu.ops.ltf import pilot_p_matrix
-    from mamimo_tpu.train.loop import _gather_batch, make_train_step
+    from mamimo_tpu.train.loop import (
+        _gather_batch,
+        make_batch_update,
+        make_train_step,
+    )
 
     cfg = SimConfig()
     key = jax.random.PRNGKey(0)
-    bs, K = args.batch, args.steps_per_call
+    K = args.steps_per_call
 
     @jax.jit
     def _mk_data(k):
@@ -70,11 +73,10 @@ def main():
 
     data = _mk_data(key)
     n_samples = args.packets * cfg.num_tx * cfg.num_rx
-    out = {"batch": bs, "steps_per_call": K, "paths": {}}
+    out = {"steps_per_call": K, "per_batch": {}}
 
     def timed(run, state):
-        # warm
-        state, loss = run(state, jax.random.PRNGKey(1))
+        state, loss = run(state, jax.random.PRNGKey(1))   # warm/compile
         float(loss.reshape(-1)[0])
         t0 = time.perf_counter()
         for i in range(args.calls):
@@ -82,76 +84,80 @@ def main():
         float(loss.reshape(-1)[0])
         return (time.perf_counter() - t0) / (args.calls * K)
 
-    def mk_idx(k):
-        return (jax.random.randint(k, (K, bs), 0, n_samples),
-                jax.random.split(k, K))
+    for bs in args.batch:
+        paths = {}
 
-    for name, tkw in (
-        ("full", dict(awgn_rng="rbg")),
-        ("full_threefry", dict(awgn_rng="threefry")),
-        ("no_awgn", dict(method="default")),
-    ):
-        tcfg = TrainConfig(batch_size=bs, steps_per_call=K, **tkw)
+        def mk_idx(k, bs=bs):
+            return (jax.random.randint(k, (K, bs), 0, n_samples),
+                    jax.random.split(k, K))
+
+        for name, tkw in (
+            ("full", dict(awgn_rng="rbg")),
+            ("full_threefry", dict(awgn_rng="threefry")),
+            ("no_awgn", dict(method="default")),
+        ):
+            tcfg = TrainConfig(batch_size=bs, steps_per_call=K, **tkw)
+            params, bn = init_stacked(key, cfg, tcfg)
+            opt = optax.adam(tcfg.lr)
+            ostate = jax.jit(opt.init)(params)
+            step = make_train_step(cfg, tcfg, data, 1.0, opt)[0]
+
+            def run(state, k, step=step, lr=tcfg.lr):
+                p, b, o = state
+                idx, keys = mk_idx(k)
+                p, b, o, loss = step.multi(p, b, o, idx, keys, lr)
+                return (p, b, o), loss
+
+            dt = timed(run, (params, bn, ostate))
+            paths[name] = round(dt * 1e3, 4)
+            print(f"[probe] bs{bs} {name}: {dt*1e3:.3f} ms/step",
+                  flush=True)
+
+        # fwd_only: eval core on the same gather (scanned K/dispatch)
+        tcfg = TrainConfig(batch_size=bs, steps_per_call=K)
         params, bn = init_stacked(key, cfg, tcfg)
-        opt = optax.adam(tcfg.lr)
-        ostate = jax.jit(opt.init)(params)
-        step = make_train_step(cfg, tcfg, data, 1.0, opt)[0]
+        _, eval_core = make_batch_update(cfg, tcfg, 1.0,
+                                         optax.scale_by_adam())
 
-        def run(state, k, step=step, lr=tcfg.lr):
-            p, b, o = state
-            idx, keys = mk_idx(k)
-            p, b, o, loss = step.multi(p, b, o, idx, keys, lr)
-            return (p, b, o), loss
+        @jax.jit
+        def _fwd_multi(data, params, bn, idx2, eval_core=eval_core):
+            def body(_, idx):
+                x2, pilot, y2 = _gather_batch(cfg, data, idx)
+                return None, eval_core(params, bn, x2, pilot, y2)
+            _, per = jax.lax.scan(body, None, idx2)
+            return jnp.sum(per, axis=0)
 
-        dt = timed(run, (params, bn, ostate))
-        out["paths"][name] = round(dt * 1e3, 4)
-        print(f"[probe] {name}: {dt*1e3:.3f} ms/step", flush=True)
+        def run_fwd(state, k):
+            idx, _ = mk_idx(k)
+            return state, _fwd_multi(data, params, bn, idx)
 
-    # fwd_only: eval core on the same gather (scanned K per dispatch)
-    tcfg = TrainConfig(batch_size=bs, steps_per_call=K)
-    params, bn = init_stacked(key, cfg, tcfg)
-    from mamimo_tpu.train.loop import make_batch_update
+        paths["fwd_only"] = round(timed(run_fwd, None) * 1e3, 4)
+        print(f"[probe] bs{bs} fwd_only: {paths['fwd_only']} ms/step",
+              flush=True)
 
-    _, eval_core = make_batch_update(cfg, tcfg, 1.0,
-                                     optax.scale_by_adam())
+        # gather_only: batch assembly + FULL reductions (a strided
+        # sample would let XLA gather only the touched columns and
+        # under-measure the assembly)
+        @jax.jit
+        def _gather_multi(data, idx2):
+            def body(_, idx):
+                x2, pilot, y2 = _gather_batch(cfg, data, idx)
+                return None, (jnp.sum(x2) + jnp.sum(y2)
+                              + jnp.sum(pilot))
+            _, per = jax.lax.scan(body, None, idx2)
+            return jnp.sum(per).reshape(1)
 
-    @jax.jit
-    def _fwd_multi(data, params, bn, idx2):
-        def body(_, idx):
-            x2, pilot, y2 = _gather_batch(cfg, data, idx)
-            return None, eval_core(params, bn, x2, pilot, y2)
-        _, per = jax.lax.scan(body, None, idx2)
-        return jnp.sum(per, axis=0)
+        def run_gather(state, k):
+            idx, _ = mk_idx(k)
+            return state, _gather_multi(data, idx)
 
-    def run_fwd(state, k):
-        idx, _ = mk_idx(k)
-        return state, _fwd_multi(data, params, bn, idx)
+        paths["gather_only"] = round(timed(run_gather, None) * 1e3, 4)
+        print(f"[probe] bs{bs} gather_only: {paths['gather_only']} "
+              "ms/step", flush=True)
+        out["per_batch"][str(bs)] = paths
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
-    out["paths"]["fwd_only"] = round(timed(run_fwd, None) * 1e3, 4)
-    print(f"[probe] fwd_only: {out['paths']['fwd_only']} ms/step",
-          flush=True)
-
-    # gather_only: batch assembly + a cheap value-visible reduction
-    @jax.jit
-    def _gather_multi(data, idx2):
-        def body(_, idx):
-            x2, pilot, y2 = _gather_batch(cfg, data, idx)
-            # FULL reductions: a strided sample would let XLA gather
-            # only the touched columns and under-measure the assembly
-            return None, (jnp.sum(x2) + jnp.sum(y2) + jnp.sum(pilot))
-        _, per = jax.lax.scan(body, None, idx2)
-        return jnp.sum(per).reshape(1)
-
-    def run_gather(state, k):
-        idx, _ = mk_idx(k)
-        return state, _gather_multi(data, idx)
-
-    out["paths"]["gather_only"] = round(timed(run_gather, None) * 1e3, 4)
-    print(f"[probe] gather_only: {out['paths']['gather_only']} ms/step",
-          flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
     print(f"[probe] wrote {args.out}", flush=True)
 
 
