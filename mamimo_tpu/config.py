@@ -213,6 +213,14 @@ class TrainConfig:
     # per-call latency on remote/tunneled runtimes (no semantic change)
     steps_per_call: int = 1
     ckpt_backend: str = "npz"          # 'npz' | 'orbax' (train/ckpt.py)
+    # per-sample input normalization: 'none' or 'rms' — divide each
+    # sample's signal AND label by the signal's complex RMS (the
+    # reference's testbed-datasource recipe,
+    # massiveMIMO_dataGenerator.py:506-519). Makes the denoiser
+    # scale-equivariant: required when train/eval gain conventions
+    # differ (e.g. sinr-mode data runs at preamp gain 0, ~100 dB below
+    # the snr-mode scale). Inference multiplies the prediction back.
+    input_norm: str = "none"
     # input-manipulation options mirrored from the reference CLI
     in_fraction: int = 1               # --inFraction
     decimate: str = "none"             # 'none' | 'max' | 'avg'

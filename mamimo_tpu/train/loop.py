@@ -188,6 +188,17 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
     levels = jnp.asarray(tcfg.awgn_snr_levels, jnp.float32)
     pmask = _plane_mask(tcfg)
 
+    def _rms_norm(x2, y2):
+        """Per-sample complex-RMS normalization of signal AND label
+        (tcfg.input_norm='rms'; massiveMIMO_dataGenerator.py:506-519):
+        a_s = sqrt(mean_L |sig_s|^2) from BOTH planes jointly — the
+        two planes are the same physical sample. Returns (x2, y2, a)."""
+        if tcfg.input_norm != "rms":
+            return x2, y2, None
+        a = jnp.sqrt(jnp.sum(jnp.mean(x2 * x2, axis=-1), axis=0)
+                     + 1e-30)                       # (bs,)
+        return x2 / a[None, :, None], y2 / a[None, :, None], a
+
     def _store_cast(x2, pilot):
         """bf16 path: materialize the batch in bf16 AT THE GATHER, not
         per-use — the (2, bs, 10240) signal tensor is read by fwd AND
@@ -209,6 +220,7 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
         return jnp.sum(per_dim), (per_dim, new_bn)
 
     def update(params, bn_state, opt_state, x2, pilot, y2, key, lr):
+        x2, y2, _ = _rms_norm(x2, y2)
         if tcfg.method == "default_snr":
             k_snr, k_noise, k_drop = jax.random.split(key, 3)
             # independent per-plane SNR draw (two independent Keras fits)
@@ -242,6 +254,7 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
         return params, new_bn, opt_state, per_dim
 
     def eval_core(params, bn_state, x2, pilot, y2):
+        x2, y2, _ = _rms_norm(x2, y2)
         if constrain is not None:
             # the mesh path shards the eval batch over `data` too — the
             # in-jit gather from replicated data would otherwise
@@ -424,7 +437,15 @@ def fit(
     #  massiveMIMO_CSI_prediction_DNN.py:298-302 to the full set)
     per_pkt = cfg.num_tx * cfg.num_rx
     train_pkts = max(1, len(train_idx) // per_pkt)
-    avg_sig_pow = float(np.mean(np.real(train_ds.rx[:train_pkts]) ** 2))
+    if tcfg.input_norm == "rms":
+        # inputs are per-sample RMS-normalized inside the step: the
+        # real-plane signal power the AWGN std derives from is 1/2 by
+        # construction (the reference measures it on the inputs it
+        # feeds the noise layer, massiveMIMO_CSI_prediction_DNN.py:298)
+        avg_sig_pow = 0.5
+    else:
+        avg_sig_pow = float(
+            np.mean(np.real(train_ds.rx[:train_pkts]) ** 2))
 
     params, bn_state = init_stacked(k_init, cfg, tcfg)
     opt = make_optimizer(tcfg)
@@ -971,8 +992,17 @@ def evaluate_dataset(
             keep = 1.0 - tcfg.input_dropout
             mask = jax.random.bernoulli(key, keep, x2.shape)
             x2 = x2 * mask
+        if tcfg.input_norm == "rms":
+            # scale-equivariant inference: normalize the input by its
+            # complex RMS, scale the prediction back (the label-side
+            # division the trainer applies is inverted here)
+            a = jnp.sqrt(jnp.sum(jnp.mean(x2 * x2, axis=-1), axis=0)
+                         + 1e-30)
+            x2 = x2 / a[None, :, None]
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
         pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
+        if tcfg.input_norm == "rms":
+            pred = pred * a[None, :, None]
         mse = jnp.mean((pred - y2) ** 2, axis=(1, 2))
         return pred, mse
 

@@ -50,7 +50,7 @@ def main():
                          "placement; training corpora share the "
                          "scenario but draw packets from seed+1089/1090)")
     ap.add_argument("--chunk", type=int, default=25)
-    ap.add_argument("--workdir", default="runs/sinr_dnn")
+    ap.add_argument("--workdir", default="runs/sinr_dnn2")
     ap.add_argument("--out", default="results/sinr_sweep.json")
     args = ap.parse_args()
 
@@ -111,8 +111,15 @@ def main():
             ds.save(train_path)
             log(f"{name}: corpus in {time.time()-t0:.0f}s")
         # 'sinr' model: interference is IN the inputs already — disable
-        # the AWGN augmentation layer (method='default')
+        # the AWGN augmentation layer (method='default'). BOTH models
+        # train with per-sample RMS normalization (input_norm='rms'):
+        # sinr-mode data runs at preamp gain 0 (~100 dB below the
+        # snr-mode scale), where unnormalized MSE training collapses
+        # and cross-convention evaluation fails by pure scale — the
+        # first (unnormalized) round-4 attempt measured DNN "NMSE" of
+        # +90 dB that was entirely the gain-convention mismatch.
         tcfg = TrainConfig(epochs=args.epochs, seed=0, steps_per_call=16,
+                           input_norm="rms",
                            method=("default_snr" if name == "awgn"
                                    else "default"))
         t0 = time.time()
