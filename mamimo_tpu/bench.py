@@ -554,19 +554,19 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
     key = jax.random.PRNGKey(0)
 
     # synthetic device dataset in the training container layout
-    # (gather-friendly planes, train/loop.py::_device_data; content
-    # does not affect timing)
+    # (content does not affect timing; complex arrays built inside jit)
     @jax.jit
     def _mk_data(k):
         k1, k2 = jax.random.split(k)
-        rxp = jax.random.normal(
-            k1, (2, num_packets, cfg.num_rx, cfg.len_ltf))
-        hp = jax.random.normal(
-            k2, (2, num_packets, cfg.num_rx, cfg.num_tx,
-                 cfg.num_carriers))
+        rx = jax.random.normal(
+            k1, (num_packets, cfg.len_ltf, cfg.num_rx, 2))
+        h = jax.random.normal(
+            k2, (num_packets, cfg.num_carriers, cfg.num_tx,
+                 cfg.num_rx, 2))
         from mamimo_tpu.ops.ltf import pilot_p_matrix
 
-        return {"rxp": rxp, "hp": hp,
+        return {"rx": jax.lax.complex(rx[..., 0], rx[..., 1]),
+                "h": jax.lax.complex(h[..., 0], h[..., 1]),
                 "P": pilot_p_matrix(cfg.num_tx).astype(jnp.float32)}
 
     data = _mk_data(key)

@@ -48,27 +48,20 @@ class TrainResult(NamedTuple):
 
 
 def _device_data(ds: CSIDataset):
-    """Device training container in GATHER-FRIENDLY planes layouts:
+    """Device training container: complex (B, L, R) / (B, C, T, R).
 
-      rxp: (2, B, R, L) float32 — a sample's signal is a contiguous
-           L-run; the round-3 complex (B, L, R) layout gathered each
-           sample at stride R (and split real/imag per step);
-      hp:  (2, B, R, T, C) float32 — label rows contiguous over C (the
-           (B, C, T, R) layout read labels at stride T·R).
+    A "gather-friendly" planes relayout ((2, B, R, L) contiguous rows,
+    no per-step real/imag split) was tried in round 4 and REVERTED on
+    measurement: identical at batch 1024, 0.33 ms/step SLOWER at batch
+    2048 (4.06 vs 3.73 ms, results/train_scaling_r4b.log vs
+    train_scaling_r4.log) — XLA's gather over the complex layout
+    amortizes the antenna-minor stride across the batch better than
+    the planes form's two far-apart plane reads."""
+    from mamimo_tpu.utils.numerics import put_complex
 
-    Same bytes as the complex container; the per-step gather becomes
-    two contiguous-row gathers and the real/imag split disappears from
-    the hot loop.
-    """
-    rxp = np.ascontiguousarray(
-        np.stack([np.real(ds.rx), np.imag(ds.rx)])
-        .transpose(0, 1, 3, 2), dtype=np.float32)      # (2, B, R, L)
-    hp = np.ascontiguousarray(
-        np.stack([np.real(ds.h_ls), np.imag(ds.h_ls)])
-        .transpose(0, 1, 4, 3, 2), dtype=np.float32)   # (2, B, R, T, C)
     return {
-        "rxp": jnp.asarray(rxp),
-        "hp": jnp.asarray(hp),
+        "rx": put_complex(ds.rx),                   # (B, L, R) complex64
+        "h": put_complex(ds.h_ls),                  # (B, C, T, R) complex64
         "P": jnp.asarray(ds.pilot_matrix(), jnp.float32),  # (T, T)
     }
 
@@ -84,9 +77,11 @@ def _gather_batch(cfg: SimConfig, data, idx):
     rem = idx % per_pkt
     r = rem // cfg.num_tx
     t = rem % cfg.num_tx
-    x2 = data["rxp"][:, p, r, :]                     # (2, bs, L)
+    sig = data["rx"][p, :, r]                        # (bs, L) complex
     pilot = data["P"].T[t]                           # (bs, T)
-    y2 = data["hp"][:, p, r, t, :]                   # (2, bs, C)
+    y = data["h"][p, :, t, r]                        # (bs, C) complex
+    x2 = jnp.stack([jnp.real(sig), jnp.imag(sig)])   # (2, bs, L)
+    y2 = jnp.stack([jnp.real(y), jnp.imag(y)])       # (2, bs, C)
     return x2, pilot, y2
 
 
@@ -596,10 +591,11 @@ def fit(
 
         @jax.jit
         def _relayout(sig, y):
-            # native packet planes -> the gather-friendly container
-            # layouts of _device_data (one device transpose per window)
-            return (jnp.transpose(sig, (0, 1, 3, 2)),      # (2,n,R,L)
-                    jnp.transpose(y, (0, 1, 4, 3, 2)))     # (2,n,R,T,C)
+            # native packet planes -> the complex container layouts of
+            # _device_data (one complexify per window; shapes already
+            # match the (B, L, R)/(B, C, T, R) convention)
+            return (jax.lax.complex(sig[0], sig[1]),
+                    jax.lax.complex(y[0], y[1]))
 
         P_dev = jnp.asarray(train_ds.pilot_matrix(), jnp.float32)
         pos = np.full(n_pkts, -1, np.int64)   # packet -> window row
@@ -611,10 +607,10 @@ def fit(
             pk = (np.concatenate([pkts, np.repeat(pkts[:1], pad)])
                   if pad > 0 else pkts)
             sig, y = loader.gather_packets(pk)
-            rxp, hp = _relayout(jnp.asarray(sig), jnp.asarray(y))
+            rxc, hc = _relayout(jnp.asarray(sig), jnp.asarray(y))
             pos[:] = -1
             pos[pk] = np.arange(P_w)
-            wst["data"] = {"rxp": rxp, "hp": hp, "P": P_dev}
+            wst["data"] = {"rx": rxc, "h": hc, "P": P_dev}
 
         def _ensure(idx_np, which):
             p = idx_np // per_pkt_w

@@ -62,12 +62,14 @@ def main():
     @jax.jit
     def _mk_data(k):
         k1, k2 = jax.random.split(k)
+        rx = jax.random.normal(
+            k1, (args.packets, cfg.len_ltf, cfg.num_rx, 2))
+        h = jax.random.normal(
+            k2, (args.packets, cfg.num_carriers, cfg.num_tx,
+                 cfg.num_rx, 2))
         return {
-            "rxp": jax.random.normal(
-                k1, (2, args.packets, cfg.num_rx, cfg.len_ltf)),
-            "hp": jax.random.normal(
-                k2, (2, args.packets, cfg.num_rx, cfg.num_tx,
-                     cfg.num_carriers)),
+            "rx": jax.lax.complex(rx[..., 0], rx[..., 1]),
+            "h": jax.lax.complex(h[..., 0], h[..., 1]),
             "P": pilot_p_matrix(cfg.num_tx).astype(jnp.float32),
         }
 
