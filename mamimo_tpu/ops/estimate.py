@@ -333,10 +333,13 @@ def lmmse_weight(cfg: SimConfig, tau, snr_db):
     snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)
     eye = jnp.eye(cfg.num_carriers, dtype=rf.dtype)
     rpp = rf + eye / snr[..., None, None]
-    # M = Rhp · Rpp⁻¹  computed as  solve(Rppᵀ, Rhpᵀ)ᵀ
-    m = jnp.linalg.solve(
-        jnp.swapaxes(rpp, -1, -2), jnp.swapaxes(rf, -1, -2)
-    )
+    # M = Rhp · Rpp⁻¹  computed as  solve(Rppᵀ, Rhpᵀ)ᵀ — at full
+    # precision (see lmmse_estimate_direct: the TPU solve lowering is
+    # ~-31 dB from exact at default bf16 matmul precision)
+    with jax.default_matmul_precision("highest"):
+        m = jnp.linalg.solve(
+            jnp.swapaxes(rpp, -1, -2), jnp.swapaxes(rf, -1, -2)
+        )
     return jnp.swapaxes(m, -1, -2).astype(jnp.complex64)
 
 
@@ -373,9 +376,12 @@ def lmmse_estimate(cfg: SimConfig, h_ls, tau, snr_db):
     Returns:
       same shape as h_ls.
     """
-    # M: (..., R, C, C); apply to h_ls columns per rx antenna.
+    # M: (..., R, C, C); apply to h_ls columns per rx antenna (at full
+    # precision — this is the exact/oracle form)
     m = lmmse_weight(cfg, tau[..., None, :], snr_db)     # (..., R, C, C)
-    return jnp.einsum("...rcd,...djr->...cjr", m, h_ls.astype(m.dtype))
+    with jax.default_matmul_precision("highest"):
+        return jnp.einsum("...rcd,...djr->...cjr", m,
+                          h_ls.astype(m.dtype))
 
 
 def lmmse_estimate_direct(cfg: SimConfig, h_ls, tau, snr_db):
@@ -410,8 +416,13 @@ def lmmse_estimate_direct(cfg: SimConfig, h_ls, tau, snr_db):
     rpp = rf + eye / snr[..., None, None]                # (..., R, C, C)
     # rhs: (..., R, C, nsts) — per-antenna LS columns
     rhs = jnp.moveaxis(h_ls.astype(rf.dtype), -1, -3)
-    x = jnp.linalg.solve(rpp, rhs)                       # (..., R, C, s)
-    y = rf @ x                                           # (..., R, C, s)
+    # full precision: the TPU LU/triangular-solve lowering runs its
+    # internal matmuls at the DEFAULT (single-pass bf16) precision and
+    # lands at only ~-31 dB from the float64 oracle on-chip
+    # (results/probe_cg_accuracy.json) — the exact forms must be exact
+    with jax.default_matmul_precision("highest"):
+        x = jnp.linalg.solve(rpp, rhs)                   # (..., R, C, s)
+        y = rf @ x                                       # (..., R, C, s)
     return jnp.moveaxis(y, -3, -1).astype(jnp.complex64)
 
 
