@@ -547,7 +547,7 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
 
     from mamimo_tpu.config import SimConfig, TrainConfig
     from mamimo_tpu.models.mlp import init_stacked, model_input_spec
-    from mamimo_tpu.train.loop import make_train_step
+    from mamimo_tpu.train.loop import make_optimizer, make_train_step
 
     cfg = SimConfig(num_tx=int(os.environ.get("BENCH_NT", "32")),
                     num_rx=int(os.environ.get("BENCH_NR", "4")))
@@ -592,10 +592,11 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
                                           else "f32"),
                                steps_per_call=steps_per_call)
             params, bn_state = init_stacked(key, cfg, tcfg)
-            opt = optax.adam(
-                tcfg.lr,
-                mu_dtype=(jnp.bfloat16 if tcfg.opt_dtype == "bf16"
-                          else None))
+            # make_train_step applies -lr*u itself: the optimizer must
+            # be the bare Adam SCALING (make_optimizer), not
+            # optax.adam(lr) whose built-in -lr would compose to a
+            # sign-flipped lr^2 update
+            opt = make_optimizer(tcfg)
             opt_state = jax.jit(opt.init)(params)
             step = make_train_step(cfg, tcfg, data, 1.0, opt)[0]
 

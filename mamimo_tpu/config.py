@@ -190,15 +190,18 @@ class TrainConfig:
     # parity check in PERF.md §Training before enabling for paper runs.
     matmul_dtype: str = "f32"
     # RNG backend for the per-step AWGN draw: 'rbg' (the TPU's hardware
-    # RngBitGenerator — the production default since round 4) or
+    # RngBitGenerator), 'rbg_clt' (hardware bits + a transcendental-free
+    # Irwin-Hall(4) byte-sum Gaussian — kills the Box-Muller
+    # log/sqrt/sincos chain that kept the AWGN stage at 1.39 ms, 37% of
+    # the bs-2048 step even under 'rbg'; see make_batch_update) or
     # 'threefry' (JAX default, counter-based, bitwise-stable across
     # backends). The AWGN draw is 20.5M normals per batch-1024 step =
     # 0.86 ms (31%) of the whole train step under threefry
-    # (results/probe_r3d.json); rbg cuts it to ~0 and is
-    # convergence-gated at ±0.08 dB of the threefry baseline
-    # (results/train_parity.json, f32_rbg row). Both are deterministic
-    # per key but draw DIFFERENT streams — don't flip mid-experiment;
-    # use 'threefry' to reproduce pre-round-4 trajectories bitwise.
+    # (results/probe_r3d.json). Each variant is convergence-gated at
+    # ±0.1 dB of the threefry baseline (results/train_parity.json).
+    # All are deterministic per key but draw DIFFERENT streams — don't
+    # flip mid-experiment; use 'threefry' to reproduce pre-round-4
+    # trajectories bitwise.
     awgn_rng: str = "rbg"
     # Adam FIRST-moment (mu) storage dtype: 'f32' | 'bf16'. bf16 mu
     # halves that moment's HBM read+write in the optimizer stage (the

@@ -230,6 +230,25 @@ def make_batch_update(cfg: SimConfig, tcfg: TrainConfig, avg_sig_pow, opt,
                 k_rbg = jax.random.wrap_key_data(
                     jnp.concatenate([kd, kd]), impl="rbg")
                 noise = jax.random.normal(k_rbg, x2.shape)
+            elif tcfg.awgn_rng == "rbg_clt":
+                # transcendental-free Gaussian: even with the hardware
+                # RNG, the Box-Muller map (log/sqrt/sincos) left the
+                # AWGN stage VPU-transcendental-bound at 1.39 ms/step,
+                # 37% of the bs-2048 step (results/probe_r4_train.json).
+                # Here each normal is the Irwin-Hall(4) sum of the four
+                # bytes of ONE hardware-RNG u32 — integer lane ops only:
+                # mean 4·127.5 = 510, var 4·(256²−1)/12 = 21845 (unit
+                # after scaling, exact). Tails truncate at ±3.46σ and
+                # excess kurtosis is −0.3 — convergence-gated like every
+                # other AWGN variant (results/train_parity.json).
+                kd = jax.random.key_data(k_noise)
+                k_rbg = jax.random.wrap_key_data(
+                    jnp.concatenate([kd, kd]), impl="rbg")
+                bits = jax.random.bits(k_rbg, x2.shape, jnp.uint32)
+                s = ((bits & 0xFF) + ((bits >> 8) & 0xFF)
+                     + ((bits >> 16) & 0xFF) + (bits >> 24))
+                noise = (s.astype(jnp.float32) - 510.0) * jnp.float32(
+                    1.0 / 147.80054)
             else:
                 noise = jax.random.normal(k_noise, x2.shape)
             x2 = x2 + noise * std[:, None, None]
@@ -571,6 +590,13 @@ def fit(
         per_pkt_w = cfg.num_tx * cfg.num_rx
         n_pkts = train_ds.num_packets
         n_train_pkts = len(train_idx) // per_pkt_w
+        # the val pass below walks packet windows of the TAIL split; a
+        # config with no tail val packets (val_same_train, val_split=0)
+        # would leave val_idx on the non-window split and desync the
+        # window schedule at the first val batch
+        assert not tcfg.val_same_train and n_train_pkts < n_pkts, (
+            "window streaming needs a non-empty packet-level tail val "
+            "split (val_same_train / val_split=0 unsupported here)")
         P_w = min(int(stream_window_packets), n_train_pkts)
         bs_w = tcfg.batch_size
         assert (P_w * per_pkt_w) % bs_w == 0, (
@@ -983,18 +1009,21 @@ def evaluate_dataset(
     @jax.jit
     def _step(data, params, bn_state, idx, key):
         x2, pilot, y2 = _gather_batch(cfg, data, idx)
+        if tcfg.input_norm == "rms":
+            # scale-equivariant inference: normalize the input by its
+            # complex RMS, scale the prediction back (the label-side
+            # division the trainer applies is inverted here). Computed
+            # BEFORE the dropout mask: training normalizes the clean
+            # signal, so a post-mask RMS would bias the rescale when
+            # dropout-at-eval is enabled.
+            a = jnp.sqrt(jnp.sum(jnp.mean(x2 * x2, axis=-1), axis=0)
+                         + 1e-30)
+            x2 = x2 / a[None, :, None]
         if drop_input:
             # binomial input mask test (--testDropInput, :377-398)
             keep = 1.0 - tcfg.input_dropout
             mask = jax.random.bernoulli(key, keep, x2.shape)
             x2 = x2 * mask
-        if tcfg.input_norm == "rms":
-            # scale-equivariant inference: normalize the input by its
-            # complex RMS, scale the prediction back (the label-side
-            # division the trainer applies is inverted here)
-            a = jnp.sqrt(jnp.sum(jnp.mean(x2 * x2, axis=-1), axis=0)
-                         + 1e-30)
-            x2 = x2 / a[None, :, None]
         xin = preprocess_input(cfg, tcfg, x2, jnp.stack([pilot, pilot]))
         pred, _ = stacked_apply(tcfg, params, bn_state, xin, train=False)
         if tcfg.input_norm == "rms":

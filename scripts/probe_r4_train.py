@@ -52,6 +52,7 @@ def main():
     from mamimo_tpu.train.loop import (
         _gather_batch,
         make_batch_update,
+        make_optimizer,
         make_train_step,
     )
 
@@ -100,7 +101,8 @@ def main():
         ):
             tcfg = TrainConfig(batch_size=bs, steps_per_call=K, **tkw)
             params, bn = init_stacked(key, cfg, tcfg)
-            opt = optax.adam(tcfg.lr)
+            # bare Adam scaling: make_train_step applies -lr*u itself
+            opt = make_optimizer(tcfg)
             ostate = jax.jit(opt.init)(params)
             step = make_train_step(cfg, tcfg, data, 1.0, opt)[0]
 

@@ -109,18 +109,24 @@ def main():
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
 
-    f32 = np.asarray(out["runs"]["f32"]["best_val_mse"])
-    out["parity_db"] = {}
-    for prec, run in out["runs"].items():
-        if prec == "f32":
-            continue
-        r = np.asarray(run["best_val_mse"]) / f32
-        out["parity_db"][prec] = [float(10 * np.log10(v)) for v in r]
-    # backwards-compat field (round-3 consumers)
-    if "bf16" in out["runs"]:
-        b16 = np.asarray(out["runs"]["bf16"]["best_val_mse"])
-        out["val_mse_ratio_bf16_over_f32"] = [
-            float(r) for r in (b16 / f32)]
+    if "f32" in out["runs"]:
+        f32 = np.asarray(out["runs"]["f32"]["best_val_mse"])
+        out["parity_db"] = {}
+        for prec, run in out["runs"].items():
+            if prec == "f32":
+                continue
+            r = np.asarray(run["best_val_mse"]) / f32
+            out["parity_db"][prec] = [float(10 * np.log10(v)) for v in r]
+        # backwards-compat field (round-3 consumers)
+        if "bf16" in out["runs"]:
+            b16 = np.asarray(out["runs"]["bf16"]["best_val_mse"])
+            out["val_mse_ratio_bf16_over_f32"] = [
+                float(r) for r in (b16 / f32)]
+    else:
+        # no f32 baseline among the variants (and none resumed from a
+        # prior artifact): keep the per-run results, skip the ratio
+        out["parity_db"] = {}
+        log("f32 baseline absent; skipping parity computation")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
