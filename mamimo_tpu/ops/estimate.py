@@ -263,7 +263,13 @@ def lmmse_eig_factor(cfg: SimConfig, tau):
 
     Returns (u, lam): (..., C, C) complex, (..., C) float.
     """
-    lam, u = jnp.linalg.eigh(lmmse_rf(cfg, tau))
+    # full precision: like every jnp.linalg lowering on TPU, eigh's
+    # internal matmuls obey the DEFAULT (single-pass bf16) precision —
+    # the exact/alternate forms must be exact on-chip (round-5 tier:
+    # the unpinned form measured −46.6 dB flat vs the float64 oracle,
+    # results/tpu_checks_r5.json)
+    with jax.default_matmul_precision("highest"):
+        lam, u = jnp.linalg.eigh(lmmse_rf(cfg, tau))
     return u, lam
 
 
@@ -293,10 +299,16 @@ def lmmse_estimate_eig(cfg: SimConfig, h_ls, tau=None, snr_db=None,
     snr = 10.0 ** (jnp.asarray(snr_db) * 0.1)
     # d[..., c, r] = λ_c / (λ_c + 1/snr_r)
     d = lam[..., :, None] / (lam[..., :, None] + 1.0 / snr[..., None, :])
+    # full precision on the basis rotations: at the TPU's default
+    # single-pass-bf16 matmul precision these (C, C) einsums flatten
+    # the estimator to −46.6 dB from the float64 oracle
+    # (results/tpu_checks_r5.json round-5 catch) — the exact forms must
+    # be exact on-chip
+    hp = jax.lax.Precision.HIGHEST
     g = jnp.einsum("...dc,...djr->...cjr", jnp.conj(u),
-                   h_ls.astype(u.dtype))
+                   h_ls.astype(u.dtype), precision=hp)
     g = g * d[..., :, None, :].astype(u.dtype)
-    return jnp.einsum("...cd,...djr->...cjr", u, g)
+    return jnp.einsum("...cd,...djr->...cjr", u, g, precision=hp)
 
 
 def lmmse_weight(cfg: SimConfig, tau, snr_db):
