@@ -584,10 +584,14 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
             int(b) for b in os.environ["BENCH_TRAIN_BATCHES"].split(","))
     for prec in variants:
         for bs in batch_sizes:
+            awgn = "threefry"
+            if "_rbgclt" in prec:
+                awgn = "rbg_clt"   # Irwin-Hall byte-sum draw (round 5)
+            elif "_rbg" in prec:
+                awgn = "rbg"
             tcfg = TrainConfig(batch_size=bs,
                                matmul_dtype=prec.split("_")[0],
-                               awgn_rng=("rbg" if "_rbg" in prec
-                                         else "threefry"),
+                               awgn_rng=awgn,
                                opt_dtype=("bf16" if "_mubf16" in prec
                                           else "f32"),
                                steps_per_call=steps_per_call)

@@ -571,15 +571,26 @@ def fit(
                 x2, pilot, y2 = _put_sharded(*ld.gather(idx_np), idx_np)
                 return sh_step.array_eval(params, bn_state, x2, pilot, y2)
         else:
+            # idx/key must be GLOBAL (replicated) arrays: under a
+            # multi-process mesh a process-local jnp.asarray would feed
+            # jit incompatible single-device operands. Values are
+            # identical on every process (same tcfg.seed drives the
+            # host shuffle), so replicated device_put is exact; on a
+            # single-process mesh this is a no-op placement.
+            _rep = _NS(mesh, _PS())
+
             def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
                           idx_next=None):
                 return sh_step.gather(params, bn_state, opt_state,
-                                      mesh_data, jnp.asarray(idx_np),
-                                      kstep, lr)
+                                      mesh_data,
+                                      jax.device_put(np.asarray(idx_np),
+                                                     _rep),
+                                      jax.device_put(kstep, _rep), lr)
 
             def run_val(params, bn_state, idx_np):
                 return sh_step.gather_eval(params, bn_state, mesh_val,
-                                           jnp.asarray(idx_np))
+                                           jax.device_put(
+                                               np.asarray(idx_np), _rep))
 
         val_multi = None
     elif host_stream and stream_window_packets:

@@ -87,10 +87,15 @@ def main():
         if prec in out["runs"]:
             log(f"{prec}: already in artifact, skipping")
             continue
+        awgn = "threefry"
+        if "_rbgclt" in prec:
+            awgn = "rbg_clt"   # Irwin-Hall byte-sum draw (round 5)
+        elif "_rbg" in prec:
+            awgn = "rbg"
         tcfg = TrainConfig(
             epochs=args.epochs, seed=0, steps_per_call=16,
             matmul_dtype=prec.split("_")[0],
-            awgn_rng=("rbg" if "_rbg" in prec else "threefry"),
+            awgn_rng=awgn,
             opt_dtype=("bf16" if "_mubf16" in prec else "f32"))
         t0 = time.time()
         res = fit(cfg, tcfg, ds, workdir=os.path.join(args.workdir, prec),
