@@ -687,6 +687,10 @@ def run_gen_bench(num_packets: int = 512, chunk: int = 64,
                     num_rx=int(os.environ.get("BENCH_NR", "4")))
     modes = {
         "ls": dict(),
+        # bf16 corpus drain: halves the device→host bytes of the
+        # (tunnel-bound) fetch pipeline — the only axis this
+        # environment can still move on end-to-end gen (VERDICT r4 #9)
+        "ls_bf16fetch": dict(fetch_dtype="bf16"),
         "lmmse": dict(with_mmse=True),
         "with_ber": dict(with_ber=True),
     }

@@ -92,6 +92,7 @@ def cmd_gen(args) -> None:
         with_mmse=args.mmse, noise_mode=args.noise_mode, chunk=args.chunk,
         interference_dbm=args.interference_dbm,
         mmse_estimator=args.mmse_estimator, mmse_n_iter=args.mmse_iters,
+        fetch_dtype=args.fetch_dtype,
     )
     ds.save(args.out)
     print(f"[gen] wrote {args.out}: {ds.num_packets} packets @ "
@@ -362,6 +363,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mmse-iters", type=int, default=16,
                    help="CG trip count (--mmse-estimator cg)")
     g.add_argument("--chunk", type=int, default=16)
+    g.add_argument("--fetch-dtype", default="f32", choices=["f32", "bf16"],
+                   help="bf16 halves the device->host corpus drain "
+                        "bytes (-50 dB quantization, below any "
+                        "operating noise floor; refused for noiseless "
+                        "label generation)")
     g.add_argument("-o", "--out", required=True)
     g.set_defaults(fn=cmd_gen)
 

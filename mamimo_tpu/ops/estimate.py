@@ -449,7 +449,8 @@ def _lmmse_generator(cfg: SimConfig, tau):
 
 
 def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
-                      n_iter: int = 16, embed: int = 512):
+                      n_iter: int = 16, embed: int = 512,
+                      precond_precision=None):
     """LMMSE estimate via circulant-preconditioned CG — identical math
     to lmmse_estimate, restructured for the TPU.
 
@@ -518,22 +519,39 @@ def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
     fwd = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))   # (C, M)
     inv = jnp.swapaxes(jnp.conj(fwd), 0, 1) / m          # (M, C)
 
-    # the DFT applies MUST run at full f32 matmul precision: under the
-    # TPU's DEFAULT precision (single-pass bf16 MXU) each matvec
-    # quantizes at ~1e-2 relative and the iteration stalls there —
-    # measured max|err| 0.78 on unit-ish inputs vs 1.3e-4 at f32
+    # the MATVEC's DFT applies MUST run at full f32 matmul precision:
+    # under the TPU's DEFAULT precision (single-pass bf16 MXU) each
+    # matvec quantizes at ~1e-2 relative and the iteration stalls there
+    # — measured max|err| 0.78 on unit-ish inputs vs 1.3e-4 at f32
     # (results/probe_lmmse_cg_r4.json, round-4 fix). HIGHEST costs 3
     # extra MXU passes on these small (·, 512) dots, a minor share of
-    # the call.
+    # the call at Nt=32 — but at Nt=64 the RHS count quadruples and the
+    # HIGHEST applies eat the CG's margin over dense (1.32×,
+    # results/probe_lmmse_cg_nt64b.json round 4).
     def dot(a, b):
         return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+    # the PRECONDITIONER is approximate BY CONSTRUCTION (a clamped
+    # padded-circulant surrogate for Rpp) — CG needs only a consistent
+    # SPD map there, not an exact one, so its two DFT applies can run
+    # at a cheaper precision (precond_precision='default' halves the
+    # HIGHEST-pass count per iteration; left-preconditioned CG theory
+    # only requires M⁻¹ SPD, which a uniformly-quantized transform pair
+    # preserves to bf16 rounding). Accuracy/time measured on-chip in
+    # results/probe_cg_mixed_r5.json; the exactness gate stays
+    # scripts/tpu_checks.py row lmmse_cg.
+    if precond_precision is None:
+        pdot = dot
+    else:
+        def pdot(a, b):
+            return jnp.matmul(a, b, precision=precond_precision)
 
     def matvec(v):
         w = dot(dot(v, fwd) * ce, inv)
         return w + sig2 * v
 
     def precond(r):
-        return dot(dot(r, fwd) / pe, inv)
+        return pdot(pdot(r, fwd) / pe, inv)
 
     def rdot(u, v):
         return jnp.sum(jnp.conj(u) * v, axis=-1,

@@ -389,20 +389,25 @@ def fit(
     the data axis — the larger-than-HBM corpus never needs a full
     device replica).
 
-    stream_window_packets (host_stream only, single-chip): WINDOW
-    streaming — per epoch the PACKET order is shuffled, windows of N
-    packets are shipped to the device once (planes via the native
-    packet gather, dl_gather_packets), and batches are assembled from
-    the device-resident window by in-jit sample gathers with
-    window-local shuffling. A per-SAMPLE stream ships each (packet, rx)
-    preamble num_tx times per epoch — the exact T-fold input blowup the
+    stream_window_packets (host_stream only): WINDOW streaming — per
+    epoch the PACKET order is shuffled, windows of N packets are
+    shipped to the device once (planes via the native packet gather,
+    dl_gather_packets), and batches are assembled from the
+    device-resident window by in-jit sample gathers with window-local
+    shuffling. A per-SAMPLE stream ships each (packet, rx) preamble
+    num_tx times per epoch — the exact T-fold input blowup the
     reference's LTF hash-dedup exists to avoid
     (create_massiveMIMO_CSIest_dnn_dataset.py:52-67); windows move the
     corpus bytes once. Shuffle semantics are two-level
     (packet-level global + sample-level within the window — the
     standard shuffle-buffer compromise); per-window ragged batch tails
-    are dropped (< bs samples per window per epoch). Requires
-    val_ds=None and (window·T·R) % batch_size == 0.
+    are dropped (< bs samples per window per epoch). The val pass is
+    windowed too: from val_ds if given (its own raw container /
+    loader), else from the packet-level tail split. COMPOSES with
+    mesh=...: each window replicates across the mesh (per-device
+    memory stays window-bounded) and batches run the sharded in-jit
+    gather step — same DP/TP program and collectives as the in-HBM
+    mesh path. Requires (window·T·R) % batch_size == 0.
     """
     key = jax.random.PRNGKey(tcfg.seed)
     k_init, k_train = jax.random.split(key)
@@ -492,6 +497,138 @@ def fit(
         else:
             resumed_best = None
 
+    def _make_window_runtime(step_on, eval_on, place, idx_to_dev):
+        """Window-streaming scheduler, shared by the single-chip and
+        mesh paths (see the fit docstring): per epoch the PACKET order
+        shuffles, windows of stream_window_packets ship to the device
+        once via `place`, and batches gather from the resident window.
+
+        Args:
+          step_on(wdata, params, bn, opt, idx_dev, key, lr) — one
+            optimizer step on the window container;
+          eval_on(wdata, params, bn, idx_dev) — one val batch;
+          place(sig, y) -> window container dict on device;
+          idx_to_dev(local_idx_np) -> the idx operand for step/eval.
+
+        Returns (run_train, run_val, make_perm, steps_w, val_idx_new).
+        """
+        per_pkt_w = cfg.num_tx * cfg.num_rx
+        n_pkts = train_ds.num_packets
+        n_train_pkts = len(train_idx) // per_pkt_w
+        if val_ds is None:
+            # the val pass walks packet windows of the TAIL split; a
+            # config with no tail val packets (val_same_train,
+            # val_split=0) would desync the window schedule at the
+            # first val batch
+            assert not tcfg.val_same_train and n_train_pkts < n_pkts, (
+                "window streaming needs a val_ds or a non-empty "
+                "packet-level tail val split")
+            n_val_pkts = n_pkts - n_train_pkts
+            val_base = n_train_pkts
+        else:
+            n_val_pkts = val_ds.num_packets
+            val_base = 0
+        P_w = min(int(stream_window_packets), n_train_pkts)
+        bs_w = tcfg.batch_size
+        assert (P_w * per_pkt_w) % bs_w == 0, (
+            "window samples must be a batch multiple so batches never "
+            f"straddle windows ({P_w}*{per_pkt_w} % {bs_w})")
+        pos = np.full(max(n_pkts, val_base + n_val_pkts), -1, np.int64)
+        wst = {"data": None, "src": None}
+        win_sched = {"train": [], "val": []}
+
+        def _load_window(pkts, src):
+            pad = P_w - len(pkts)
+            pk = (np.concatenate([pkts, np.repeat(pkts[:1], pad)])
+                  if pad > 0 else pkts)
+            ld = val_loader if (src == "val" and val_ds is not None) \
+                else loader
+            sig, y = ld.gather_packets(pk)
+            wst["data"] = place(sig, y)
+            wst["src"] = src if val_ds is not None else "train"
+            pos[:] = -1
+            pos[pk] = np.arange(P_w)
+
+        def _ensure(idx_np, which):
+            src = which if val_ds is not None else "train"
+            p = idx_np // per_pkt_w
+            if (wst["data"] is not None and wst["src"] == src
+                    and not np.any(pos[p] < 0)):
+                return
+            dq = win_sched[which]
+            if not dq and which == "val":
+                vp = np.arange(val_base, val_base + n_val_pkts)
+                dq.extend(vp[k:k + P_w]
+                          for k in range(0, len(vp), P_w))
+            while dq:
+                _load_window(dq.pop(0), which)
+                if not np.any(pos[p] < 0):
+                    return
+            raise RuntimeError(
+                "window schedule out of sync with the batch order")
+
+        def _localize(idx_np):
+            p = idx_np // per_pkt_w
+            return pos[p] * per_pkt_w + idx_np % per_pkt_w
+
+        def make_perm():
+            """Two-level shuffle: packet order globally, samples within
+            each window; per-window ragged batch tails dropped."""
+            win_sched["train"].clear()
+            pkt_perm = rng_host.permutation(n_train_pkts)
+            parts = []
+            for k in range(0, n_train_pkts, P_w):
+                w = pkt_perm[k:k + P_w]
+                win_sched["train"].append(w)
+                s = (w[:, None] * per_pkt_w
+                     + np.arange(per_pkt_w)[None, :]).ravel()
+                s = s[rng_host.permutation(len(s))]
+                parts.append(s[: (len(s) // bs_w) * bs_w])
+            return np.concatenate(parts)
+
+        steps_w = sum((min(P_w, n_train_pkts - k) * per_pkt_w) // bs_w
+                      for k in range(0, n_train_pkts, P_w))
+        # window-aligned sequential val pass, ragged window tails
+        # dropped symmetrically
+        vparts = []
+        for k in range(0, n_val_pkts, P_w):
+            vs = np.arange((val_base + k) * per_pkt_w,
+                           (val_base + min(k + P_w, n_val_pkts))
+                           * per_pkt_w)
+            vparts.append(vs[: (len(vs) // bs_w) * bs_w])
+        val_idx_new = (np.concatenate(vparts) if vparts
+                       else np.empty(0, np.int64))
+        if len(val_idx_new) == 0:
+            # val smaller than one batch: a single short batch from the
+            # first (only) val window
+            val_idx_new = np.arange(
+                val_base * per_pkt_w,
+                (val_base + min(P_w, n_val_pkts)) * per_pkt_w)
+
+        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
+                      idx_next=None):
+            _ensure(idx_np, "train")
+            li = _localize(idx_np)
+            return step_on(wst["data"], params, bn_state, opt_state,
+                           idx_to_dev(li), kstep, lr)
+
+        def run_val(params, bn_state, idx_np):
+            _ensure(idx_np, "val")
+            li = _localize(idx_np)
+            return eval_on(wst["data"], params, bn_state,
+                           idx_to_dev(li))
+
+        return run_train, run_val, make_perm, steps_w, val_idx_new
+
+    @jax.jit
+    def _relayout(sig, y):
+        # native packet planes -> the complex container layouts of
+        # _device_data (one complexify per window; shapes already
+        # match the (B, L, R)/(B, C, T, R) convention)
+        return (jax.lax.complex(sig[0], sig[1]),
+                jax.lax.complex(y[0], y[1]))
+
+    make_perm = None
     if mesh is not None:
         from mamimo_tpu.parallel.sharded import (
             make_sharded_train_step,
@@ -544,7 +681,37 @@ def fit(
             opt_state = jax.tree.map(_replace, out_sh, host_o)
         else:
             params, bn_state, opt_state = init_fn(k_init)
-        if host_stream:
+        if host_stream and stream_window_packets:
+            # window streaming UNDER the mesh (round-5 composition):
+            # each window ships once per epoch, replicated across the
+            # mesh (per-device memory stays bounded by the window —
+            # the windowing contract), and every batch gathers from it
+            # through the sharded in-jit gather step, so the DP/TP
+            # program and collectives are identical to the in-HBM mesh
+            # path. idx/key ride as replicated global arrays (multi-
+            # process safe, same as the in-HBM branch below).
+            _rep_w = _NS(mesh, _PS())
+            P_dev_w = jax.device_put(
+                np.asarray(train_ds.pilot_matrix(), np.float32), _rep_w)
+
+            def _place_mesh(sig, y):
+                sig_g = jax.device_put(np.ascontiguousarray(sig), _rep_w)
+                y_g = jax.device_put(np.ascontiguousarray(y), _rep_w)
+                rxc, hc = _relayout(sig_g, y_g)
+                return {"rx": rxc, "h": hc, "P": P_dev_w}
+
+            def _tr_mesh(wdata, p, b, o, idx, k, lr):
+                return sh_step.gather(p, b, o, wdata, idx,
+                                      jax.device_put(k, _rep_w), lr)
+
+            def _ev_mesh(wdata, p, b, idx):
+                return sh_step.gather_eval(p, b, wdata, idx)
+
+            run_train, run_val, make_perm, steps_w, val_idx = \
+                _make_window_runtime(
+                    _tr_mesh, _ev_mesh, _place_mesh,
+                    lambda li: jax.device_put(np.asarray(li), _rep_w))
+        elif host_stream:
             # larger-than-HBM under the mesh: batches gathered on host
             # by the native C++ loader, device_put pre-sharded on the
             # `data` axis (the DP dim), then the array-input sharded
@@ -597,22 +764,6 @@ def fit(
         # WINDOW streaming (see docstring): ship packets once, expand
         # to samples on device via the same in-jit gather the in-HBM
         # path uses — the window is just a small resident `data` dict.
-        assert val_ds is None, "window streaming uses the tail val split"
-        per_pkt_w = cfg.num_tx * cfg.num_rx
-        n_pkts = train_ds.num_packets
-        n_train_pkts = len(train_idx) // per_pkt_w
-        # the val pass below walks packet windows of the TAIL split; a
-        # config with no tail val packets (val_same_train, val_split=0)
-        # would leave val_idx on the non-window split and desync the
-        # window schedule at the first val batch
-        assert not tcfg.val_same_train and n_train_pkts < n_pkts, (
-            "window streaming needs a non-empty packet-level tail val "
-            "split (val_same_train / val_split=0 unsupported here)")
-        P_w = min(int(stream_window_packets), n_train_pkts)
-        bs_w = tcfg.batch_size
-        assert (P_w * per_pkt_w) % bs_w == 0, (
-            "window samples must be a batch multiple so batches never "
-            f"straddle windows ({P_w}*{per_pkt_w} % {bs_w})")
         update, eval_core = make_batch_update(cfg, tcfg, avg_sig_pow, opt)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
@@ -626,95 +777,14 @@ def fit(
             x2, pilot, y2 = _gather_batch(cfg, data, idx)
             return eval_core(params, bn_state, x2, pilot, y2)
 
-        @jax.jit
-        def _relayout(sig, y):
-            # native packet planes -> the complex container layouts of
-            # _device_data (one complexify per window; shapes already
-            # match the (B, L, R)/(B, C, T, R) convention)
-            return (jax.lax.complex(sig[0], sig[1]),
-                    jax.lax.complex(y[0], y[1]))
-
         P_dev = jnp.asarray(train_ds.pilot_matrix(), jnp.float32)
-        pos = np.full(n_pkts, -1, np.int64)   # packet -> window row
-        wst = {"data": None}
-        win_sched = {"train": [], "val": []}
 
-        def _load_window(pkts):
-            pad = P_w - len(pkts)
-            pk = (np.concatenate([pkts, np.repeat(pkts[:1], pad)])
-                  if pad > 0 else pkts)
-            sig, y = loader.gather_packets(pk)
+        def _place(sig, y):
             rxc, hc = _relayout(jnp.asarray(sig), jnp.asarray(y))
-            pos[:] = -1
-            pos[pk] = np.arange(P_w)
-            wst["data"] = {"rx": rxc, "h": hc, "P": P_dev}
+            return {"rx": rxc, "h": hc, "P": P_dev}
 
-        def _ensure(idx_np, which):
-            p = idx_np // per_pkt_w
-            if wst["data"] is not None and not np.any(pos[p] < 0):
-                return
-            dq = win_sched[which]
-            if not dq and which == "val":
-                vp = np.arange(n_train_pkts, n_pkts)
-                dq.extend(vp[k:k + P_w]
-                          for k in range(0, len(vp), P_w))
-            while dq:
-                _load_window(dq.pop(0))
-                if not np.any(pos[p] < 0):
-                    return
-            raise RuntimeError(
-                "window schedule out of sync with the batch order")
-
-        def _localize(idx_np):
-            p = idx_np // per_pkt_w
-            return pos[p] * per_pkt_w + idx_np % per_pkt_w
-
-        def make_perm():
-            """Two-level shuffle: packet order globally, samples within
-            each window; per-window ragged batch tails dropped."""
-            win_sched["train"].clear()
-            pkt_perm = rng_host.permutation(n_train_pkts)
-            parts = []
-            for k in range(0, n_train_pkts, P_w):
-                w = pkt_perm[k:k + P_w]
-                win_sched["train"].append(w)
-                s = (w[:, None] * per_pkt_w
-                     + np.arange(per_pkt_w)[None, :]).ravel()
-                s = s[rng_host.permutation(len(s))]
-                parts.append(s[: (len(s) // bs_w) * bs_w])
-            return np.concatenate(parts)
-
-        steps_w = sum((min(P_w, n_train_pkts - k) * per_pkt_w) // bs_w
-                      for k in range(0, n_train_pkts, P_w))
-        # window-aligned sequential val pass (tail split), ragged
-        # window tails dropped symmetrically
-        vparts = []
-        for k in range(n_train_pkts, n_pkts, P_w):
-            vs = np.arange(k * per_pkt_w,
-                           min(k + P_w, n_pkts) * per_pkt_w)
-            vparts.append(vs[: (len(vs) // bs_w) * bs_w])
-        if vparts:
-            val_idx = np.concatenate(vparts)
-            if len(val_idx) == 0:
-                # val smaller than one batch: a single short batch from
-                # the first (only) val window
-                val_idx = np.arange(
-                    n_train_pkts * per_pkt_w,
-                    min(n_train_pkts + P_w, n_pkts) * per_pkt_w)
-
-        def run_train(params, bn_state, opt_state, idx_np, kstep, lr,
-                      idx_next=None):
-            _ensure(idx_np, "train")
-            li = _localize(idx_np)
-            return _wstep(wst["data"], params, bn_state, opt_state,
-                          jnp.asarray(li), kstep, lr)
-
-        def run_val(params, bn_state, idx_np):
-            _ensure(idx_np, "val")
-            li = _localize(idx_np)
-            return _weval(wst["data"], params, bn_state,
-                          jnp.asarray(li))
-
+        run_train, run_val, make_perm, steps_w, val_idx = \
+            _make_window_runtime(_wstep, _weval, _place, jnp.asarray)
         val_multi = None
     elif host_stream:
         arr_train_step, arr_eval_step = make_array_train_step(
@@ -775,7 +845,7 @@ def fit(
     bs = tcfg.batch_size
     steps_per_epoch = max(1, len(train_idx) // bs)
     val_steps = max(1, len(val_idx) // bs)
-    windowed = (host_stream and stream_window_packets and mesh is None)
+    windowed = bool(host_stream and stream_window_packets)
     if windowed:
         steps_per_epoch = steps_w
         val_steps = max(1, len(val_idx) // bs)

@@ -30,23 +30,38 @@ def put_complex(x):
     return jax.jit(jax.lax.complex)(xr, xi)
 
 
-def get_complex(x) -> "np.ndarray":
-    """Device complex array → host complex64 via float-plane transfers."""
+def get_complex(x, fetch_dtype=None) -> "np.ndarray":
+    """Device complex array → host complex64 via float-plane transfers.
+
+    fetch_dtype=jnp.bfloat16 halves the transfer bytes: the planes are
+    quantized ON DEVICE to bf16 (−50 dB relative — the same bound as
+    the bf16 LS input path, below any operating noise floor) and
+    upcast back on host. Use for bulk corpus drains over slow links;
+    never for noiseless (SNR=120) label fetches where −50 dB matters.
+    """
     import jax
     import numpy as np
 
-    re, im = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))(x)
-    return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+    dt = fetch_dtype or jnp.float32
+    re, im = jax.jit(lambda a: (jnp.real(a).astype(dt),
+                                jnp.imag(a).astype(dt)))(x)
+    re = np.asarray(re).astype(np.float32)
+    im = np.asarray(im).astype(np.float32)
+    return (re + 1j * im).astype(np.complex64)
 
 
-def fetch_tree(tree):
-    """device_get that routes complex leaves through get_complex."""
+def fetch_tree(tree, fetch_dtype=None):
+    """device_get that routes complex leaves through get_complex.
+
+    fetch_dtype applies to COMPLEX leaves only (the corpus bulk);
+    float/int leaves (SNRs, delays, flags) always transfer exact.
+    """
     import jax
     import numpy as np
 
     def one(leaf):
         if jnp.iscomplexobj(leaf):
-            return get_complex(leaf)
+            return get_complex(leaf, fetch_dtype=fetch_dtype)
         return np.asarray(leaf)
 
     return jax.tree.map(one, tree)
