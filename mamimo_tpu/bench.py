@@ -592,6 +592,12 @@ def run_train_bench(batch_sizes=(256, 1024), steps_per_call: int = 16,
             tcfg = TrainConfig(batch_size=bs,
                                matmul_dtype=prec.split("_")[0],
                                awgn_rng=awgn,
+                               # '_noawgn': ablation row (method
+                               # 'default' disables the AWGN layer) —
+                               # the in-harness floor for decomposing
+                               # the draw's cost
+                               method=("default" if "_noawgn" in prec
+                                       else "default_snr"),
                                opt_dtype=("bf16" if "_mubf16" in prec
                                           else "f32"),
                                steps_per_call=steps_per_call)

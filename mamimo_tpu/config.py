@@ -201,8 +201,11 @@ class TrainConfig:
     # ±0.1 dB of the threefry baseline (results/train_parity.json).
     # All are deterministic per key but draw DIFFERENT streams — don't
     # flip mid-experiment; use 'threefry' to reproduce pre-round-4
-    # trajectories bitwise.
-    awgn_rng: str = "rbg"
+    # trajectories bitwise, 'rbg' for round-4 ones. 'rbg_clt' is the
+    # round-5 production default: parity [+0.03, −0.13] dB vs the f32
+    # baseline (results/train_parity.json) at 0.44 ms/step of AWGN
+    # cost vs rbg's 1.02 (results/probe_r5_awgn.json, bs 2048).
+    awgn_rng: str = "rbg_clt"
     # Adam FIRST-moment (mu) storage dtype: 'f32' | 'bf16'. bf16 mu
     # halves that moment's HBM read+write in the optimizer stage (the
     # train step is HBM-bound at the weight/Adam traffic, PERF.md

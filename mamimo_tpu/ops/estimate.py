@@ -450,7 +450,7 @@ def _lmmse_generator(cfg: SimConfig, tau):
 
 def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
                       n_iter: int = 16, embed: int = 512,
-                      precond_precision=None):
+                      precond_precision=None, matvec_precision=None):
     """LMMSE estimate via circulant-preconditioned CG — identical math
     to lmmse_estimate, restructured for the TPU.
 
@@ -528,8 +528,15 @@ def lmmse_estimate_cg(cfg: SimConfig, h_ls, tau, snr_db,
     # the call at Nt=32 — but at Nt=64 the RHS count quadruples and the
     # HIGHEST applies eat the CG's margin over dense (1.32×,
     # results/probe_lmmse_cg_nt64b.json round 4).
+    # matvec_precision overrides HIGHEST on the matvec's dots:
+    # Precision.HIGH (3-pass bf16, ~1e-5 relative per dot) halves the
+    # matvec MXU passes — accuracy/time frontier measured on-chip in
+    # results/probe_cg_mixed_r5.json before any production pick.
+    mv_prec = (jax.lax.Precision.HIGHEST if matvec_precision is None
+               else matvec_precision)
+
     def dot(a, b):
-        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(a, b, precision=mv_prec)
 
     # the PRECONDITIONER is approximate BY CONSTRUCTION (a clamped
     # padded-circulant surrogate for Rpp) — CG needs only a consistent

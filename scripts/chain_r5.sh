@@ -37,16 +37,19 @@ stage parity_rbgclt 7200 python scripts/run_train_parity_tpu.py --variants f32,f
 stage cg_mixed_nt64 2400 python scripts/probe_cg_mixed_r5.py
 stage cg_mixed_nt32 2400 python scripts/probe_cg_mixed_r5.py --num-tx 32 --num-rx 4 -o results/probe_cg_mixed_r5_nt32.json
 
-# 4. BS64 accuracy chapter: corpus + train to convergence + NMSE sweep
+# 4. generation throughput incl. the bf16 corpus-drain mode
+stage gen_bench_r5 2400 bash -c 'python bench.py --gen > results/gen_bench_r5.json.tmp 2> results/gen_bench_r5.err && tail -1 results/gen_bench_r5.json.tmp > results/gen_bench_r5.json'
+
+# 5. train-bench refresh with the rbg_clt row (headline train numbers)
+stage train_bench_r5 4800 bash -c 'BENCH_TRAIN_VARIANTS=f32_rbg,f32_rbgclt,bf16_rbgclt BENCH_TRAIN_BATCHES=1024,2048 python bench.py --train > results/train_bench_r5.log 2>&1'
+
+# 6. BS64 accuracy chapter: corpus + train to convergence + NMSE sweep
 stage bs64_accuracy 21600 python scripts/run_bs32_tpu.py \
   --num-tx 64 --num-rx 8 --packets 2000 --test-packets 250 \
   --epochs 100 --workdir runs/bs64 \
   --snr -25 -20 -15 -10 -5 0 5 10
 
-# 5. train-bench refresh with the rbg_clt row (headline train numbers)
-stage train_bench_r5 4800 bash -c 'BENCH_TRAIN_VARIANTS=f32_rbg,f32_rbgclt,bf16_rbgclt BENCH_TRAIN_BATCHES=1024,2048 python bench.py --train > results/train_bench_r5.log 2>&1'
-
-# 6. headline inference bench refresh
+# 7. headline inference bench refresh
 stage bench_r5 2400 bash -c 'python bench.py > results/bench_r5.json.tmp 2> results/bench_r5.err && tail -1 results/bench_r5.json.tmp > results/bench_r5.json'
 
 commit_results "Round-5 artifacts: chain final sweep"

@@ -71,26 +71,32 @@ def main():
     snr = jnp.asarray(
         rng.uniform(-20.0, 10.0, (b, cfg.num_rx)), jnp.float32)
 
-    mixed_kw = dict(precond_precision=jax.lax.Precision.DEFAULT)
+    DEF, HIGH = jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGH
+    VARIANTS = {
+        "cg": {},
+        "cg_mixed": dict(precond_precision=DEF),
+        "cg_high": dict(precond_precision=DEF, matvec_precision=HIGH),
+        "cg_high_hp": dict(precond_precision=HIGH,
+                           matvec_precision=HIGH),
+    }
+    mixed_kw = VARIANTS["cg_mixed"]
 
     def dense_core(c, t, s, r, cfg=cfg):
         h = ls_estimate_matmul(cfg, r, c)
         return lmmse_estimate(cfg, h, t, s)
 
-    def cg_core(c, t, s, r, cfg=cfg):
-        h = ls_estimate_matmul(cfg, r, c)
-        return lmmse_estimate_cg(cfg, h, t, s)
-
-    def cg_mixed_core(c, t, s, r, cfg=cfg):
-        h = ls_estimate_matmul(cfg, r, c)
-        return lmmse_estimate_cg(cfg, h, t, s, **mixed_kw)
+    def make_cg_core(kw):
+        def core(c, t, s, r, cfg=cfg):
+            h = ls_estimate_matmul(cfg, r, c)
+            return lmmse_estimate_cg(cfg, h, t, s, **kw)
+        return core
 
     n_est = b * cfg.num_tx * cfg.num_rx
     out = {"device": str(dev), "batch": b, "num_tx": args.num_tx,
            "num_rx": args.num_rx, "per_call_ms": {}, "ratio_vs_dense": {},
            "oracle_nmse_db": {}}
-    for name, core in (("dense", dense_core), ("cg", cg_core),
-                       ("cg_mixed", cg_mixed_core)):
+    for name, core in [("dense", dense_core)] + [
+            (n, make_cg_core(kw)) for n, kw in VARIANTS.items()]:
         fn = _chained_step(core, (lsc, tau_b, snr))
         t0 = time.time()
         dt = _time_fn(fn, rx, iters=args.iters)
@@ -98,7 +104,7 @@ def main():
         print(f"[probe] {name}: {dt*1e3:.2f} ms/call "
               f"({dt/n_est:.3e} s/est, setup {time.time()-t0:.0f}s)",
               flush=True)
-    for name in ("cg", "cg_mixed"):
+    for name in VARIANTS:
         out["ratio_vs_dense"][name] = round(
             out["per_call_ms"]["dense"] / out["per_call_ms"][name], 2)
 
@@ -136,11 +142,12 @@ def main():
     h_dev = put_complex(hls_np)
     tau_dev = jnp.asarray(tau_np)
     acc_fns = {
-        "cg": jax.jit(lambda h, t, s: lmmse_estimate_cg(cfg, h, t, s)),
-        "cg_mixed": jax.jit(
-            lambda h, t, s: lmmse_estimate_cg(cfg, h, t, s, **mixed_kw)),
-        "dense": jax.jit(lambda h, t, s: lmmse_estimate(cfg, h, t, s)),
+        name: jax.jit(lambda h, t, s, kw=kw: lmmse_estimate_cg(
+            cfg, h, t, s, **kw))
+        for name, kw in VARIANTS.items()
     }
+    acc_fns["dense"] = jax.jit(
+        lambda h, t, s: lmmse_estimate(cfg, h, t, s))
     for name, fn in acc_fns.items():
         worst = -np.inf
         for snr_val in (-25.0, -10.0, 0.0, 10.0, 20.0):
