@@ -277,3 +277,29 @@ def test_lmmse_cg_default_matmul_precision(cfg):
         got = np.asarray(lmmse_estimate_cg(
             cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
     assert np.abs(got - ref).max() < 2e-3
+
+
+def test_lmmse_cg_precision_knobs(cfg):
+    """Round-5 mixed-precision options: cg with precond_precision /
+    matvec_precision must stay within CG-convergence tolerance of the
+    full-HIGHEST form (the bf16-pass effects only exist on TPU; the
+    on-chip frontier is results/probe_cg_mixed_r5.json and the
+    exactness gate scripts/tpu_checks.py)."""
+    from mamimo_tpu.ops.estimate import lmmse_estimate_cg
+
+    rng = np.random.default_rng(11)
+    n = cfg.num_carriers
+    b = 2
+    tau = rng.uniform(1e-6, 4e-6, (b, cfg.n_scatterers)).astype(np.float32)
+    h_ls = (rng.standard_normal((b, n, 2, 4))
+            + 1j * rng.standard_normal((b, n, 2, 4))).astype(np.complex64)
+    s = rng.uniform(-20.0, 10.0, (b, 4)).astype(np.float32)
+    ref = np.asarray(lmmse_estimate_cg(
+        cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s)))
+    for kw in (dict(precond_precision=jax.lax.Precision.DEFAULT),
+               dict(precond_precision=jax.lax.Precision.DEFAULT,
+                    matvec_precision=jax.lax.Precision.HIGH)):
+        got = np.asarray(lmmse_estimate_cg(
+            cfg, jnp.asarray(h_ls), jnp.asarray(tau), jnp.asarray(s),
+            **kw))
+        assert np.abs(got - ref).max() < 2e-3, kw
