@@ -58,9 +58,18 @@ def main():
     scenario = None
     train_path = os.path.join(args.workdir, "train.npz")
     if os.path.exists(train_path):
-        from mamimo_tpu.pipeline.dataset import CSIDataset
+        # lazy npz access: read ONLY the scenario_* members, not the
+        # multi-GB corpus (np.load reads zip members on access) — same
+        # policy as run_sweep_stage3.py; the BS64 corpus is 5.7 GB
+        import jax.numpy as jnp
 
-        scenario = CSIDataset.load(train_path).scenario
+        from mamimo_tpu.channel.scattering import Scenario
+
+        z = np.load(train_path)
+        scenario = Scenario(**{
+            k[len("scenario_"):]: jnp.asarray(z[k])
+            for k in z.files if k.startswith("scenario_")})
+        z.close()
         log("using the training scenario for test generation")
 
     outdir = os.path.join(args.workdir, "test_results")
